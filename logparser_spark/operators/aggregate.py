@@ -1,0 +1,90 @@
+"""Windowed grouped aggregates with explicit salted-key skew handling (A7).
+
+North_rule requires per-sink grouped counts over windows keyed by
+``(conv_id, turn_idx)`` with explicit salting.  ``salted_agg`` is the
+generic two-stage pattern:
+
+    stage 1: groupBy(keys…, salt)  → partial aggregate   (shuffle #1,
+             a hot key's rows spread over ``salt_buckets`` reducers)
+    stage 2: groupBy(keys…)        → final combine        (shuffle #2,
+             one row per (key, salt) — tiny)
+
+Spark's hash aggregate already does map-side partial combine, which
+handles *count-like* skew well; explicit salting is the insurance for the
+true pathological case (one key ≫ executor memory at the reducer, or
+memory-heavy aggregates like ``collect_set``) and is proven equal to the
+naive plan in tests (salted == unsalted on the skew fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logparser_spark.config import PipelineConfig
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str | Column],
+    aggs: dict[str, tuple[str, str]] | None = None,
+    salt_buckets: int = 16,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregate.
+
+    ``aggs`` maps output column → (partial_fn, final_fn) over an input
+    column, e.g. ``{"n": ("count", "sum")}``; default is a row count.
+    ``salt_on`` columns feed the deterministic salt (defaults to a uniform
+    random-ish but deterministic function of all key columns plus
+    ``turn_idx`` when present).
+    """
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    named = [k.alias(f"_k{i}") for i, k in enumerate(key_cols)]
+    key_names = [f"_k{i}" for i in range(len(key_cols))]
+
+    salt_src = salt_on or [c for c in ("turn_idx", "conv_id", "event_id") if c in df.columns]
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]) if salt_src else F.spark_partition_id(),
+                  F.lit(salt_buckets)).alias("_salt")
+
+    base = df.select(*named, salt)
+    stage1 = base.groupBy(*key_names, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    stage2 = stage1.groupBy(*key_names).agg(F.sum("_partial").alias("n"))
+    out = stage2
+    for i, k in enumerate(keys):
+        name = k if isinstance(k, str) else f"key{i}"
+        out = out.withColumnRenamed(f"_k{i}", name)
+    return out
+
+
+def sink_window_counts(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Per-sink counts per event-time tumbling window per template."""
+    cfg = cfg or PipelineConfig()
+    win = F.window("ts", cfg.window_duration)
+    base = df.select(
+        "sink_id",
+        win["start"].alias("win_start"),
+        "event_id",
+        "conv_id",
+        "turn_idx",
+    )
+    out = salted_agg(
+        base,
+        keys=["sink_id", "win_start", "event_id"],
+        salt_buckets=cfg.salt_buckets,
+    )
+    return out.select("sink_id", "win_start", "event_id", F.col("n").alias("n_turns"))
+
+
+def turn_window_counts(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Counts per (conv_id, turn-index bucket) window per template —
+    the (conv_id, turn_idx)-keyed window of the north_star."""
+    cfg = cfg or PipelineConfig()
+    bucket = (F.floor(F.col("turn_idx") / cfg.turn_bucket) * cfg.turn_bucket).alias("turn_bucket")
+    base = df.select("conv_id", bucket, "event_id", "turn_idx")
+    out = salted_agg(
+        base,
+        keys=["conv_id", "turn_bucket", "event_id"],
+        salt_buckets=cfg.salt_buckets,
+    )
+    return out.select("conv_id", "turn_bucket", "event_id", F.col("n").alias("n_turns"))

@@ -1,0 +1,94 @@
+"""Distributed template mining (U2 in SURVEY §2.10): mine → merge.
+
+The reference's parser is an *online, sequential* loop over every line
+(``Drain/Drain.py`` ``parse`` ≈L254–290).  At 10^12 turns that cannot run
+on one node, so the graft splits it:
+
+1. **mask** — native ``regexp_replace`` chain (no Python).
+2. **partition-local mine** — each partition (conversations co-located by
+   ``conv_id`` hash, rows sorted by ``(conv_id, turn_idx)`` for
+   determinism) runs the sequential Drain kernel over its Arrow batches
+   inside ``mapInPandas`` and emits only its tiny template set.
+3. **driver merge** — template sets are KBs; they are merged into one
+   global set by canonical-order re-insertion into a fresh tree
+   (:func:`logparser_spark.drain.merge_template_sets`), which makes the
+   result independent of partition enumeration order.
+
+Per-row Python exists only *inside* the mining batch operator where the
+algorithm is inherently sequential, and is bounded: identical masked texts
+are deduplicated per batch before touching the tree, so tree inserts are
+O(unique texts), not O(rows).  At full scale mining runs on a bounded
+deterministic sample (``sample_one_in``) and assignment runs everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logparser_spark.config import DrainParams, PipelineConfig
+from logparser_spark.drain import Cluster, DrainTree, merge_template_sets
+from logparser_spark.functions.hashing import bucket_expr
+from logparser_spark.functions.masking import mask_expr
+
+
+def with_masked(df: DataFrame, params: DrainParams) -> DataFrame:
+    """Attach the masked text column (pure native expressions)."""
+    return df.withColumn("masked", mask_expr("text", params.rex))
+
+
+def _mine_partition(params: DrainParams):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree = DrainTree(params)
+        # dedup across the whole partition, preserving first-seen order
+        seen: dict[str, int] = {}
+        order: list[str] = []
+        for pdf in batches:
+            for text in pdf["masked"]:
+                if text in seen:
+                    seen[text] += 1
+                else:
+                    seen[text] = 1
+                    order.append(text)
+        for text in order:
+            cluster = tree.add_message(text.split())
+            cluster.count += seen[text] - 1
+        yield pd.DataFrame(
+            {
+                "template": [c.template for c in tree.clusters],
+                "count": [c.count for c in tree.clusters],
+            }
+        )
+
+    return fn
+
+
+def mine_templates(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    sample_one_in: int = 1,
+) -> list[Cluster]:
+    """Mine the global template set from a (already masked or raw) frame.
+
+    ``sample_one_in > 1`` mines on a deterministic md5-bucket sample of
+    conversations (whole conversations, so per-conv ordering is preserved)
+    — the scale path for 100 TB inputs where the template universe
+    saturates long before the data does.
+    """
+    cfg = cfg or PipelineConfig()
+    params = cfg.drain
+    if "masked" not in df.columns:
+        df = with_masked(df, params)
+    src = df
+    if sample_one_in > 1:
+        src = src.filter(bucket_expr("conv_id", sample_one_in) == 0)
+    part = (
+        src.select("conv_id", "turn_idx", "masked")
+        .repartition(cfg.num_partitions, F.col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    rows = part.mapInPandas(_mine_partition(params), "template string, count long").collect()
+    return merge_template_sets([[(r["template"], r["count"]) for r in rows]], params)

@@ -1,0 +1,46 @@
+"""Routing: deterministic sink assignment + one-pass fan-out write.
+
+The reference writes one structured CSV per input file
+(``outputResult`` ≈L202–235).  The graft fans rows out to **per-sink
+tables by template/role** (north_star): ``sink_id = role × md5-bucket of
+event_id``.  Scalability: one job, ``write.partitionBy('sink_id')`` — the
+writer splits partitions into per-sink directories in a single pass
+instead of k filtered jobs (SURVEY §4.3).  Unmatched/unparseable rows get
+the dedicated ``dead`` sink (dead-letter policy, SURVEY §1.2) so counts
+always reconcile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logparser_spark.config import PipelineConfig
+from logparser_spark.functions.hashing import bucket_expr
+
+
+def with_sink_id(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    ok = F.concat_ws(
+        "-", F.col("role"), F.format_string("t%02d", bucket_expr("event_id", cfg.template_sink_buckets))
+    )
+    sink = (
+        F.when(~F.col("matched"), F.lit("dead")).otherwise(ok)
+        if "matched" in df.columns
+        else ok
+    )
+    return df.withColumn("sink_id", sink)
+
+
+def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
+                mode: str = "overwrite") -> None:
+    cfg = cfg or PipelineConfig()
+    if "sink_id" not in df.columns:
+        df = with_sink_id(df, cfg)
+    out = df.withColumn("parameters", F.to_json("parameters")) if "parameters" in df.columns else df
+    (
+        out.write.format(cfg.sink_format)
+        .mode(mode)
+        .partitionBy("sink_id")
+        .save(path)
+    )
