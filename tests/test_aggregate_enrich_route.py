@@ -1,0 +1,70 @@
+"""Salted-agg equivalence, enrichment joins, routing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.config import PipelineConfig
+from logparser_spark.operators.aggregate import salted_agg, sink_window_counts, turn_window_counts
+from logparser_spark.operators.assign import assign_templates
+from logparser_spark.operators.enrich import enrich
+from logparser_spark.operators.mine import mine_templates
+from logparser_spark.operators.route import with_sink_id
+from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
+from logparser_spark.sources.transcripts import transcripts_df
+
+CFG = PipelineConfig(num_partitions=8, salt_buckets=7)
+
+
+@pytest.fixture(scope="module")
+def routed(spark):
+    # heavy skew: 60% of turns in one conversation
+    tdf = transcripts_df(spark, 4000, 30, 60).cache()
+    mined = mine_templates(tdf, CFG)
+    assigned = assign_templates(tdf, mined, CFG.drain, with_params=False)
+    enriched = enrich(assigned, lkp_role_df(spark), lkp_tool_df(spark))
+    return with_sink_id(enriched, CFG).cache()
+
+
+def test_salted_equals_naive_on_skew(spark, routed):
+    naive = (
+        routed.groupBy("conv_id", "event_id").count().withColumnRenamed("count", "n")
+    )
+    salted = salted_agg(routed, ["conv_id", "event_id"], salt_buckets=CFG.salt_buckets)
+    assert naive.exceptAll(salted).count() == 0
+    assert salted.exceptAll(naive).count() == 0
+
+
+def test_sink_window_counts_reconcile(spark, routed):
+    swc = sink_window_counts(routed, CFG)
+    assert swc.agg(F.sum("n_turns")).first()[0] == routed.count()
+    twc = turn_window_counts(routed, CFG)
+    assert twc.agg(F.sum("n_turns")).first()[0] == routed.count()
+    # turn buckets are aligned multiples of the bucket width
+    bad = twc.filter(F.pmod(F.col("turn_bucket"), F.lit(CFG.turn_bucket)) != 0)
+    assert bad.count() == 0
+
+
+def test_enrichment_left_join_semantics(spark, routed):
+    # every role present in dims → no null role_group
+    assert routed.filter("role_group IS NULL").count() == 0
+    # non-tool turns have tool='' which is absent from lkp_tool → nulls kept
+    assert routed.filter("tool = '' AND tool_family IS NOT NULL").count() == 0
+    assert routed.filter("tool <> '' AND tool_family IS NULL").count() == 0
+
+
+def test_enrich_plan_uses_broadcast_join(spark, routed):
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routing_is_deterministic_function(spark, routed):
+    # same (role, event_id) always → same sink_id
+    n = routed.select("role", "event_id", "sink_id").distinct().count()
+    assert n == routed.select("role", "event_id").distinct().count()
+
+
+def test_matched_rows_never_route_dead(spark, routed):
+    assert routed.filter("matched AND sink_id = 'dead'").count() == 0
