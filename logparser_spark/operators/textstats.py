@@ -1,0 +1,161 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Every operator is a pure native column expression (JVM, codegen — no
+Python), and each has a matching ANSI-SQL generator used by the DuckDB
+oracles, driven off the *same* constant tables so Spark and SQL can never
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from logparser_spark.functions.text import tokens_expr
+
+# stopword banks (tiny on purpose: heuristic language ID, SURVEY-extra ops)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "to", "in", "and", "is"),
+    "es": ("el", "la", "de", "los", "y", "es", "un"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+PUNCT_RX = r"[^A-Za-z0-9\s]"
+BPE_ISH_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _toks(col: Column | str) -> Column:
+    return tokens_expr(col)
+
+
+# -- language id -------------------------------------------------------------
+
+
+def lang_scores_expr(col: Column | str) -> dict[str, Column]:
+    toks = _toks(col)
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Predicted language: argmax stopword hits, alphabetical tie-break,
+    'und' (undetermined) when no stopword matches."""
+    scores = lang_scores_expr(col)
+    mx = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == mx, F.lit(lang)).otherwise(pred)
+    return F.when(mx == 0, F.lit("und")).otherwise(pred)
+
+
+def lang_id_sql(col_sql: str) -> str:
+    """DuckDB-SQL equivalent of :func:`lang_id_expr`."""
+    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    score = {
+        lang: f"len(list_filter({toks}, t -> list_contains({list(words)!r}, t)))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"CASE WHEN {mx} = 0 THEN 'und' {cases} ELSE 'und' END"
+
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def quality_exprs(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _toks(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.regexp_count(c, F.lit(PUNCT_RX))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in LANG_STOPWORDS["en"]]))
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stop_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4),
+        "mean_token_len": F.round(
+            (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 4
+        ),
+    }
+
+
+def quality_sql(col_sql: str) -> dict[str, str]:
+    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    n_tokens = f"len({toks})"
+    n_chars = f"length({col_sql})"
+    punct = f"len(regexp_extract_all({col_sql}, '{PUNCT_RX}'))"
+    stops = list(LANG_STOPWORDS["en"])
+    stop_hits = f"len(list_filter({toks}, t -> list_contains({stops!r}, t)))"
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "punct_ratio": f"round({punct} / greatest({n_chars}, 1), 4)",
+        "stop_ratio": f"round({stop_hits} / greatest({n_tokens}, 1), 4)",
+        "mean_token_len": f"round(({n_chars} - ({n_tokens} - 1)) / greatest({n_tokens}, 1), 4)",
+    }
+
+
+# -- token counting ----------------------------------------------------------
+
+
+def token_counts_exprs(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "ws_tokens": F.size(_toks(col)),
+        "bpe_ish_tokens": F.regexp_count(c, F.lit(BPE_ISH_RX)),
+    }
+
+
+def token_counts_sql(col_sql: str) -> dict[str, str]:
+    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    return {
+        "ws_tokens": f"len({toks})",
+        "bpe_ish_tokens": f"len(regexp_extract_all({col_sql}, '{BPE_ISH_RX}'))",
+    }
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (bag-of-words identity)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_toks(col)))))
+
+
+def fingerprint_sql(col_sql: str) -> str:
+    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    return f"md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
+
+
+def bottomk_sketch_expr(col: Column | str, k: int = 8, shingle_n: int = 3) -> Column:
+    """Bottom-k sketch: the k lexicographically-smallest md5 digests of
+    the doc's n-gram shingles (a similarity-preserving fingerprint; the
+    rolling-hash analog done set-wise so it's distributable)."""
+    from logparser_spark.operators.dedup import shingles_expr
+
+    hashed = F.array_sort(F.transform(shingles_expr(col, shingle_n), F.md5))
+    return F.slice(hashed, 1, k)
+
+
+def bottomk_sketch_sql(col_sql: str, k: int = 8, shingle_n: int = 3) -> str:
+    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    kk = f"greatest(len({toks}) - {shingle_n - 1}, 1)"
+    sh = (
+        f"list_distinct(list_transform(generate_series(1, {kk}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {shingle_n - 1}), ' ')))"
+    )
+    return f"list_slice(list_sort(list_transform({sh}, s -> md5(s))), 1, {k})"

@@ -1,0 +1,109 @@
+"""Text-analysis operators vs their own DuckDB SQL twins + multimodal plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    media_from_documents,
+)
+from logparser_spark.operators.textstats import (
+    bottomk_sketch_expr,
+    bottomk_sketch_sql,
+    fingerprint_expr,
+    fingerprint_sql,
+    lang_id_expr,
+    lang_id_sql,
+    quality_exprs,
+    quality_sql,
+    token_counts_exprs,
+    token_counts_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+def _cmp(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    a = spark_pdf.sort_values("doc_id").reset_index(drop=True)
+    b = duck_pdf.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_lang_id_matches_sql_twin(spark, docs):
+    got = docs.select("doc_id", lang_id_expr("text").alias("lang_pred")).toPandas()
+    want = _duck(f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents")
+    _cmp(got, want)
+    assert set(got["lang_pred"]) <= set("de en es fr zh und".split())
+
+
+def test_quality_matches_sql_twin(spark, docs):
+    exprs = quality_exprs("text")
+    got = docs.select("doc_id", *[v.alias(k) for k, v in exprs.items()]).toPandas()
+    sqls = quality_sql("text")
+    sel = ", ".join(f"{v} AS {k}" for k, v in sqls.items())
+    want = _duck(f"SELECT doc_id, {sel} FROM documents")
+    _cmp(got, want)
+
+
+def test_token_counts_match_sql_twin(spark, docs):
+    exprs = token_counts_exprs("text")
+    got = docs.select("doc_id", *[v.alias(k) for k, v in exprs.items()]).toPandas()
+    sel = ", ".join(f"{v} AS {k}" for k, v in token_counts_sql("text").items())
+    want = _duck(f"SELECT doc_id, {sel} FROM documents")
+    _cmp(got, want)
+
+
+def test_fingerprint_matches_sql_twin(spark, docs):
+    got = docs.select("doc_id", fingerprint_expr("text").alias("fp")).toPandas()
+    want = _duck(f"SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents")
+    _cmp(got, want)
+
+
+def test_bottomk_sketch_matches_sql_twin(spark, docs):
+    got = docs.select("doc_id", bottomk_sketch_expr("text").alias("sk")).toPandas()
+    want = _duck(f"SELECT doc_id, {bottomk_sketch_sql('text')} AS sk FROM documents")
+    got["sk"] = got["sk"].apply(list)
+    want["sk"] = want["sk"].apply(list)
+    _cmp(got, want)
+
+
+def test_media_decode_plumbing(spark, docs):
+    media = media_from_documents(docs.limit(50))
+    decoded = decode_media(media)
+    pdf = decoded.toPandas()
+    assert len(pdf) == 50
+    assert set(pdf["format"]) <= {"png", "jpeg", "webp"}
+    assert all(len(f) == 8 for f in pdf["feature"])
+    # deterministic: same payload → same decode
+    again = decode_media(media).toPandas()
+    pd.testing.assert_frame_equal(
+        pdf.sort_values("media_id").reset_index(drop=True),
+        again.sort_values("media_id").reset_index(drop=True),
+    )
+
+
+def test_frame_sampling_plan(spark, docs):
+    media = media_from_documents(docs.limit(60))
+    frames = frame_sample_plan(media, every_n=5)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 5 == 0).all()
+    n_videos = media.filter("kind = 'video'").count()
+    assert pdf["media_id"].nunique() == n_videos
