@@ -1,0 +1,578 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY §2 (plus the training-data
+extensions) gets a ``queries()`` entry and a matching ``oracle_sql()``
+string over the same parquet tables.  Aliases are kept identical on both
+sides — the driver hash-compares values after sorting columns by name.
+
+Non-SQL-expressible operators (the Drain mining itself, ANN, SimHash,
+multimodal decode) are registered without oracles → rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logparser_spark.config import DEFAULT_REX, PipelineConfig
+from logparser_spark.functions.masking import mask_expr, mask_sql
+from logparser_spark.functions.text import tokens_expr
+from logparser_spark.operators import textstats as TS
+from logparser_spark.operators.aggregate import salted_agg, sink_window_counts
+from logparser_spark.operators.assign import assign_templates
+from logparser_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_dedup,
+)
+from logparser_spark.operators.enrich import enrich
+from logparser_spark.operators.mine import mine_templates
+from logparser_spark.operators.multimodal import decode_media, media_from_documents
+from logparser_spark.operators.route import with_sink_id
+from logparser_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
+from logparser_spark.sources.transcripts import transcripts_df
+
+CFG = PipelineConfig()
+
+# deterministic synthetic-log line built from events (both engines)
+EVENT_TYPE_FAMILY = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+N_MINHASHES = 16
+ROWS_PER_BAND = 4
+SHINGLE_N = 3
+DUP_IDS_BELOW = 20
+DUP_OFFSET = 1_000_000
+
+# DuckDB SQL fragments shared by several oracles ----------------------------
+
+_TOKS = "list_filter(string_split(trim({c}), ' '), t -> t <> '')"
+
+
+def _toks_sql(c: str) -> str:
+    return _TOKS.format(c=c)
+
+
+def _shingles_sql(c: str, n: int = SHINGLE_N) -> str:
+    toks = _toks_sql(c)
+    k = f"greatest(len({toks}) - {n - 1}, 1)"
+    return (
+        f"list_distinct(list_transform(generate_series(1, {k}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+DOCS_WITH_DUPS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {DUP_OFFSET}, text FROM documents "
+    f"WHERE doc_id < {DUP_IDS_BELOW})"
+)
+
+RAW_LINE_SQL = (
+    "event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ip=10.0.' || "
+    "CAST(user_id % 200 AS VARCHAR) || '.' || CAST(user_id % 250 AS VARCHAR) || "
+    "' dur=' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ' ms'"
+)
+
+
+def _raw_line_expr() -> F.Column:
+    u = F.col("user_id")
+    return F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        u.cast("string"),
+        F.lit(" ip=10.0."),
+        F.pmod(u, F.lit(200)).cast("string"),
+        F.lit("."),
+        F.pmod(u, F.lit(250)).cast("string"),
+        F.lit(" dur="),
+        F.floor("value").cast("string"),
+        F.lit(" ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _n_turns_for(sf_dir: str) -> int:
+    if "sf0.1" in sf_dir:
+        return 200_000
+    if "sf0.01" in sf_dir:
+        return 40_000
+    return 4_000
+
+
+_TEMPLATE_CACHE: dict[str, list] = {}
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_df(spark, _n_turns_for(sf_dir), n_convs=200, skew_share_pct=20)
+
+
+def _mined(spark: SparkSession, sf_dir: str):
+    key = f"{sf_dir}:{_n_turns_for(sf_dir)}"
+    if key not in _TEMPLATE_CACHE:
+        _TEMPLATE_CACHE[key] = mine_templates(_transcripts(spark, sf_dir), CFG)
+    return _TEMPLATE_CACHE[key]
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < DUP_IDS_BELOW).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    return docs.unionByName(dups)
+
+
+# -- SQL-checked queries -----------------------------------------------------
+
+
+def q_mask_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = _raw_line_expr()
+    return ev.select(
+        F.col("event_id").alias("event_id"),
+        raw.alias("raw_line"),
+        mask_expr(raw).alias("masked"),
+    )
+
+
+SQL_MASK = (
+    f"SELECT event_id, {RAW_LINE_SQL} AS raw_line, "
+    f"{mask_sql(RAW_LINE_SQL)} AS masked FROM events"
+)
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+SQL_TOKEN_FREQ = (
+    f"SELECT token, count(*) AS cnt FROM (SELECT unnest({_toks_sql('text')}) AS token "
+    "FROM documents) GROUP BY token HAVING count(*) >= 5"
+)
+
+
+def q_position_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.posexplode(tokens_expr("text")).alias("pos0", "token"))
+        .select((F.col("pos0") + 1).alias("pos"), "token")
+        .groupBy("pos")
+        .agg(F.countDistinct("token").alias("n_distinct"))
+    )
+
+
+SQL_POS_CARD = (
+    "SELECT pos, count(DISTINCT token) AS n_distinct FROM ("
+    f"SELECT unnest({_toks_sql('text')}) AS token, "
+    f"unnest(generate_series(1, len({_toks_sql('text')}))) AS pos FROM documents"
+    ") GROUP BY pos"
+)
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(EVENT_TYPE_FAMILY, "event_type string, family string")
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_DIM_VALUES = ", ".join(f"('{t}', '{f}')" for t, f in EVENT_TYPE_FAMILY)
+SQL_ENRICH = (
+    "SELECT family, count(*) AS n, count(DISTINCT user_id) AS n_users "
+    f"FROM events LEFT JOIN (VALUES {_DIM_VALUES}) AS dim(event_type, family) "
+    "USING (event_type) GROUP BY family"
+)
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour")["start"].alias("win_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_WINDOWED = (
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def q_salted_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour")["start"].alias("win_start"), "user_id", "event_id"
+    )
+    out = salted_agg(ev, ["win_start", "user_id"], salt_buckets=CFG.salt_buckets)
+    return out.select("win_start", "user_id", "n")
+
+
+SQL_SALTED = (
+    "SELECT date_trunc('hour', ts) AS win_start, user_id, count(*) AS n "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.sum(F.floor("value")).over(w).alias("rolling_sum"),
+    )
+
+
+SQL_ROLLING = (
+    "SELECT event_id, user_id, "
+    "count(*) OVER w AS rolling_n, "
+    "sum(CAST(floor(value) AS BIGINT)) OVER w AS rolling_sum "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+)
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_TOPK = (
+    "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+    "FROM events) WHERE rn <= 3"
+)
+
+
+def q_tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents, "
+    "count(*) AS n_rows "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+SQL_NATION = (
+    "SELECT r_name, n_name, count(*) AS n_customers, "
+    "sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id "
+    f"FROM {DOCS_WITH_DUPS_SQL} GROUP BY md5(text)"
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signatures(docs, "doc_id", "text", N_MINHASHES, SHINGLE_N)
+
+
+SQL_MINHASH = (
+    "WITH sh AS (SELECT doc_id, unnest(" + _shingles_sql("text") + ") AS shingle "
+    "FROM documents), "
+    f"seeds AS (SELECT unnest(generate_series(0, {N_MINHASHES - 1})) AS seed) "
+    "SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash "
+    "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed"
+)
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir),
+        "doc_id",
+        "text",
+        N_MINHASHES,
+        ROWS_PER_BAND,
+        SHINGLE_N,
+    )
+
+
+SQL_LSH_CANDS = (
+    "WITH docs AS (SELECT * FROM " + DOCS_WITH_DUPS_SQL + "), "
+    "sh AS (SELECT doc_id, unnest(" + _shingles_sql("text") + ") AS shingle FROM docs), "
+    f"seeds AS (SELECT unnest(generate_series(0, {N_MINHASHES - 1})) AS seed), "
+    "sig AS (SELECT doc_id, seed, "
+    "min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash "
+    "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed), "
+    f"bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band, "
+    "md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key "
+    f"FROM sig GROUP BY doc_id, seed // {ROWS_PER_BAND}), "
+    "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key "
+    "HAVING count(*) <= 1000) "
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM (SELECT bands.* FROM bands JOIN ok USING (band, band_key)) a "
+    "JOIN (SELECT bands.* FROM bands JOIN ok USING (band, band_key)) b "
+    "USING (band, band_key) WHERE a.doc_id < b.doc_id"
+)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", 0.99, SHINGLE_N
+    )
+
+
+SQL_JACCARD = (
+    "WITH docs AS (SELECT * FROM " + DOCS_WITH_DUPS_SQL + "), "
+    "sh AS (SELECT doc_id, unnest(" + _shingles_sql("text") + ") AS shingle FROM docs), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard "
+    "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.99"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id_expr("text").alias("lang_pred"))
+
+
+SQL_LANG_ID = f"SELECT doc_id, {TS.lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    exprs = TS.quality_exprs("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in exprs.items()])
+
+
+SQL_QUALITY = (
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in TS.quality_sql("text").items())
+    + " FROM documents"
+)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    exprs = TS.token_counts_exprs("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in exprs.items()])
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in TS.token_counts_sql("text").items())
+    + " FROM documents"
+)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint_expr("text").alias("fp"))
+
+
+SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter("vec_id < 5"), k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+SQL_KNN = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    "WHERE vec_id < 5), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(q.qv)), "
+    "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS sim "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
+    "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+    "FROM scored) WHERE rank <= 5"
+)
+
+
+# -- rows-only queries (non-SQL-expressible operators) -----------------------
+
+
+def q_drain_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = _mined(spark, sf_dir)
+    return spark.createDataFrame(
+        [(c.template, int(c.count)) for c in clusters],
+        "template string, occurrences long",
+    ).select(
+        F.substring(F.md5("template"), 1, 8).alias("event_id"),
+        "template",
+        "occurrences",
+    )
+
+
+def q_drain_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    assigned = assign_templates(t, _mined(spark, sf_dir), CFG.drain, with_params=False)
+    return assigned.select("conv_id", "turn_idx", "event_id", "matched")
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    assigned = assign_templates(t, _mined(spark, sf_dir), CFG.drain, with_params=False)
+    enriched = enrich(assigned, lkp_role_df(spark), lkp_tool_df(spark))
+    routed = with_sink_id(enriched, CFG)
+    return sink_window_counts(routed, CFG)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter("vec_id < 5"), n_planes=4, n_tables=4, k=5)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs)).select(
+        "media_id", "kind", "width", "height", "format"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mask_preprocess": q_mask_preprocess,
+    "token_frequency": q_token_frequency,
+    "position_cardinality": q_position_cardinality,
+    "enrich_broadcast": q_enrich_broadcast,
+    "windowed_counts": q_windowed_counts,
+    "salted_windowed_counts": q_salted_windowed_counts,
+    "rolling_window": q_rolling_window,
+    "topk_per_user": q_topk_per_user,
+    "tpch_q1_like": q_tpch_q1_like,
+    "nation_rollup": q_nation_rollup,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "jaccard_pairs": q_jaccard_pairs,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_bruteforce": q_knn_bruteforce,
+    # rows-only (non-SQL-expressible)
+    "drain_template_table": q_drain_template_table,
+    "drain_assignments": q_drain_assignments,
+    "pipeline_sink_counts": q_pipeline_sink_counts,
+    "simhash_candidates": q_simhash_candidates,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES: dict[str, str] = {
+    "mask_preprocess": SQL_MASK,
+    "token_frequency": SQL_TOKEN_FREQ,
+    "position_cardinality": SQL_POS_CARD,
+    "enrich_broadcast": SQL_ENRICH,
+    "windowed_counts": SQL_WINDOWED,
+    "salted_windowed_counts": SQL_SALTED,
+    "rolling_window": SQL_ROLLING,
+    "topk_per_user": SQL_TOPK,
+    "tpch_q1_like": SQL_TPCH_Q1,
+    "nation_rollup": SQL_NATION,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH,
+    "lsh_candidates": SQL_LSH_CANDS,
+    "jaccard_pairs": SQL_JACCARD,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "knn_bruteforce": SQL_KNN,
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry(): full parse→enrich→route→aggregate on sf0.001-scale
+    synthetic transcripts; returns the per-sink windowed counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_pipeline_sink_counts(spark, sf_dir)

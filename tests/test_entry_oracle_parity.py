@@ -1,0 +1,64 @@
+"""Replicates the driver's correctness gate: every ``queries()`` entry vs
+its ``oracle_sql()`` twin via DuckDB (row count + columns + values)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].round(6)
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    out = out[sorted(out.columns)]
+    return out.sort_values(list(out.columns), kind="stable").reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    got = _normalize(q(spark, SF).toPandas())
+    want = _normalize(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
