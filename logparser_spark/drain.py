@@ -76,8 +76,9 @@ class DrainTree:
 
     # -- search ------------------------------------------------------------
 
-    def search(self, tokens: list[str]) -> Cluster | None:
-        """Descend the tree for ``tokens``; similarity-match at the leaf."""
+    def resolve_leaf(self, tokens: list[str]) -> _Node | None:
+        """Descend to the leaf node whose cluster list would be searched
+        for ``tokens`` (None if no path exists)."""
         length_node = self.root.children.get(len(tokens))
         if length_node is None:
             return None
@@ -93,6 +94,19 @@ class DrainTree:
                 return None
             node = child
             depth += 1
+        return node
+
+    @property
+    def prefix_len(self) -> int:
+        """Number of leading tokens that determine the leaf (beyond
+        token count): the inner layers actually traversed."""
+        return max(self._inner - 1, 0)
+
+    def search(self, tokens: list[str]) -> Cluster | None:
+        """Descend the tree for ``tokens``; similarity-match at the leaf."""
+        node = self.resolve_leaf(tokens)
+        if node is None:
+            return None
         return self._fast_match(node.clusters, tokens)
 
     def _seq_dist(self, template: list[str], tokens: list[str]) -> tuple[float, int]:

@@ -449,6 +449,27 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
 
 
+def q_grouping_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-style evaluator (A6): pair-F1 + parsing accuracy of the
+    heuristic language-ID against the documents' labelled language."""
+    from logparser_spark.operators.evaluate import grouping_accuracy
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        F.col("lang").alias("gt"), TS.lang_id_expr("text").alias("pred")
+    )
+    return grouping_accuracy(df, "gt", "pred")
+
+
+def _sql_grouping_accuracy() -> str:
+    from logparser_spark.operators.evaluate import grouping_accuracy_sql
+
+    src = (
+        f"(SELECT lang AS gt, {TS.lang_id_sql('text')} AS pred FROM documents) AS src"
+    )
+    return grouping_accuracy_sql(src, "gt", "pred")
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, emb.filter("vec_id < 5"), k=5)
@@ -539,6 +560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
+    "grouping_accuracy": q_grouping_accuracy,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -568,6 +590,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "knn_bruteforce": SQL_KNN,
+    "grouping_accuracy": _sql_grouping_accuracy(),
 }
 
 

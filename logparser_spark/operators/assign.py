@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,7 +30,7 @@ from logparser_spark.drain import (
     Cluster,
     DrainTree,
     event_id_of,
-    extract_parameters,
+    template_to_param_regex,
 )
 from logparser_spark.operators.mine import with_masked
 
@@ -43,7 +44,15 @@ ASSIGN_FIELDS = [
 
 
 class _Matcher:
-    """Read-only matcher over a fixed template set, with memoization."""
+    """Read-only matcher over a fixed template set.
+
+    Matching is vectorized: rows group by their tree-leaf key (token
+    count + the leading tokens the fixed-depth descent consumes), and
+    each group's token matrix is compared against the leaf's few
+    candidate templates with numpy — exact ``fastMatch`` semantics
+    (similarity over non-wildcard positions, wildcard-count tie-break,
+    first-cluster-wins on full ties) without per-row Python.
+    """
 
     def __init__(self, templates: list[str], params: DrainParams, with_params: bool):
         self.params = params
@@ -51,70 +60,131 @@ class _Matcher:
         self.tree = DrainTree(params)
         for t in templates:
             self.tree.insert(Cluster(tokens=t.split(" ") if t else [""]))
-        # masked text → (template, event_id, matched); params are per *raw*
-        # text (the reference extracts them from the original Content), so
-        # they get their own memo keyed on raw.
         self.memo: dict[str, tuple[str, str, bool]] = {}
-        self.param_memo: dict[str, list[str]] = {}
+        self.param_rx: dict[str, object] = {}
+        # leaf-node id → precomputed candidate arrays
+        self._leaf_cache: dict[int, tuple] = {}
 
-    def match_masked(self, masked: str) -> tuple[str, str, bool]:
-        hit = self.memo.get(masked)
-        if hit is not None:
-            return hit
-        cluster = self.tree.search(masked.split())
-        if cluster is None:
-            template, matched = masked, False
-        else:
-            template, matched = cluster.template, True
-        res = (template, event_id_of(template), matched)
-        if len(self.memo) < 1_000_000:  # bound executor memory
-            self.memo[masked] = res
-        return res
-
-    def params_for(self, raw: str, template: str, matched: bool) -> list[str]:
-        if not (self.with_params and matched):
-            return []
-        hit = self.param_memo.get(raw)
+    def _leaf_arrays(self, node) -> tuple:
+        key = id(node)
+        hit = self._leaf_cache.get(key)
         if hit is None:
-            hit = extract_parameters(raw, template)
-            if len(self.param_memo) < 1_000_000:
-                self.param_memo[raw] = hit
+            tpls = []
+            for c in node.clusters:
+                toks = np.array(c.tokens, dtype=object)
+                wild = toks == "<*>"
+                tpls.append((toks, wild, int(wild.sum()), c.template))
+            hit = self._leaf_cache[key] = tuple(tpls)
         return hit
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        """Match an array of unique masked texts; returns per-unique
+        (template, event_id, matched)."""
+        tok_lists = [u.split() or [""] for u in uniques]
+        pfx = self.tree.prefix_len
+        groups: dict[tuple, list[int]] = {}
+        for i, toks in enumerate(tok_lists):
+            groups.setdefault((len(toks), *toks[:pfx]), []).append(i)
+
+        results: list[tuple[str, str, bool] | None] = [None] * len(uniques)
+        st = self.params.st
+        for key, idxs in groups.items():
+            length = key[0]
+            node = self.tree.resolve_leaf(tok_lists[idxs[0]])
+            cands = self._leaf_arrays(node) if node is not None else ()
+            if not cands:
+                for i in idxs:
+                    t = uniques[i]
+                    results[i] = (t, event_id_of(t), False)
+                continue
+            mat = np.array([tok_lists[i] for i in idxs], dtype=object)  # [n, L]
+            n = len(idxs)
+            best_sim = np.full(n, -1.0)
+            best_np = np.full(n, -1)
+            best_j = np.full(n, -1)
+            for j, (toks, wild, n_wild, _tpl) in enumerate(cands):
+                if len(toks) != length:
+                    continue
+                eq = mat == toks  # broadcast compare [n, L]
+                if n_wild:
+                    eq = eq & ~wild
+                sim = eq.sum(axis=1) / length
+                upd = (sim > best_sim) | ((sim == best_sim) & (n_wild > best_np))
+                best_j[upd] = j
+                best_sim[upd] = sim[upd]
+                best_np[upd] = n_wild
+            for pos, i in enumerate(idxs):
+                if best_j[pos] >= 0 and best_sim[pos] >= st:
+                    tpl = cands[best_j[pos]][3]
+                    results[i] = (tpl, event_id_of(tpl), True)
+                else:
+                    t = uniques[i]
+                    results[i] = (t, event_id_of(t), False)
+        return results  # type: ignore[return-value]
+
+    def regex_for(self, template: str):
+        """Compiled parameter regex per template (None → no parameters)."""
+        if template not in self.param_rx:
+            self.param_rx[template] = template_to_param_regex(template)
+        return self.param_rx[template]
+
+    def extract_params_vectorized(
+        self, texts: pd.Series, codes, results: list
+    ) -> pd.Series:
+        """Per-template vectorized extraction: one C-regex pass per
+        template in the batch via ``str.extract`` instead of per-row
+        Python ``findall`` (reference semantics preserved — groups are
+        the ``<*>`` positions of the final template, stripped)."""
+        out = pd.Series([[] for _ in range(len(texts))], index=texts.index, dtype=object)
+        if not self.with_params:
+            return out
+        # group rows by *template* (small), not by unique text (large)
+        tpl_of_code = np.array(
+            [r[0] if r[2] else None for r in results], dtype=object
+        )
+        tpl_s = pd.Series(tpl_of_code[codes], index=texts.index)
+        for template, idx in tpl_s.groupby(tpl_s).groups.items():
+            rx = self.regex_for(template)
+            if rx is None:
+                continue
+            ext = texts.loc[idx].str.extract(rx)
+            vals = ext.apply(lambda col: col.str.strip())
+            lists = [
+                [] if any(p is None or p != p for p in row) else list(row)
+                for row in vals.itertuples(index=False, name=None)
+            ]
+            out.loc[idx] = pd.Series(lists, index=idx, dtype=object)
+        return out
 
 
 # worker-global cache: one matcher per (templates identity, params) per worker
 _MATCHER_CACHE: dict[tuple, _Matcher] = {}
 
 
-def _assign_fn(bc_templates, token: str, params: DrainParams, with_params: bool, out_cols: list[str]):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = (token, params, with_params)
-        matcher = _MATCHER_CACHE.get(key)
-        if matcher is None:
-            matcher = _Matcher(bc_templates.value, params, with_params)
-            if len(_MATCHER_CACHE) > 8:
-                _MATCHER_CACHE.clear()
-            _MATCHER_CACHE[key] = matcher
-        for pdf in batches:
-            codes, uniques = pd.factorize(pdf["masked"])
-            results = [matcher.match_masked(u) for u in uniques]
-            out = pdf.copy()
-            out["template"] = pd.array([results[c][0] for c in codes], dtype=object)
-            out["event_id"] = pd.array([results[c][1] for c in codes], dtype=object)
-            out["matched"] = pd.array([results[c][2] for c in codes], dtype=bool)
-            if with_params:
-                out["parameters"] = pd.array(
-                    [
-                        matcher.params_for(raw, results[c][0], results[c][2])
-                        for raw, c in zip(pdf["text"], codes)
-                    ],
-                    dtype=object,
-                )
-            else:
-                out["parameters"] = pd.array([[] for _ in codes], dtype=object)
-            yield out[out_cols]
-
-    return fn
+def _match_batch(matcher: _Matcher, masked: pd.Series, text: pd.Series) -> pd.DataFrame:
+    codes, uniques = pd.factorize(masked)
+    uniques = np.asarray(uniques, dtype=object)
+    memo = matcher.memo
+    missing = [i for i, u in enumerate(uniques) if u not in memo]
+    if missing:
+        fresh = matcher.match_unique(uniques[missing])
+        for i, res in zip(missing, fresh):
+            if len(memo) < 1_000_000:  # bound executor memory
+                memo[uniques[i]] = res
+    results = [memo.get(u) for u in uniques]
+    if any(r is None for r in results):  # memo overflow path
+        idx = [i for i, r in enumerate(results) if r is None]
+        for i, res in zip(idx, matcher.match_unique(uniques[idx])):
+            results[i] = res
+    return pd.DataFrame(
+        {
+            "template": pd.array([results[c][0] for c in codes], dtype=object),
+            "event_id": pd.array([results[c][1] for c in codes], dtype=object),
+            "parameters": matcher.extract_params_vectorized(text, codes, results),
+            "matched": pd.array([results[c][2] for c in codes], dtype=bool),
+        },
+        index=masked.index,
+    )
 
 
 def assign_templates(
@@ -123,7 +193,13 @@ def assign_templates(
     params: DrainParams | None = None,
     with_params: bool = True,
 ) -> DataFrame:
-    """Attach ``masked, template, event_id, parameters, matched`` columns."""
+    """Attach ``masked, template, event_id, parameters, matched`` columns.
+
+    Implemented as a scalar Arrow pandas_udf over (masked, text) returning
+    a struct — passthrough columns never cross the JVM↔Python boundary,
+    so Arrow traffic is just the two string columns in and the assignment
+    struct out.
+    """
     params = params or DrainParams()
     if "masked" not in df.columns:
         df = with_masked(df, params)
@@ -132,9 +208,24 @@ def assign_templates(
 
     token = hashlib.md5("\n".join(templates).encode("utf-8")).hexdigest()
     bc = df.sparkSession.sparkContext.broadcast(templates)
-    out_schema = T.StructType(
-        [f for f in df.schema.fields if f.name not in {x.name for x in ASSIGN_FIELDS}]
-        + ASSIGN_FIELDS
+    wp = with_params
+
+    @F.pandas_udf(T.StructType(ASSIGN_FIELDS[1:]))  # template..matched
+    def assign_udf(masked: pd.Series, text: pd.Series) -> pd.DataFrame:
+        key = (token, params, wp)
+        matcher = _MATCHER_CACHE.get(key)
+        if matcher is None:
+            matcher = _Matcher(bc.value, params, wp)
+            if len(_MATCHER_CACHE) > 8:
+                _MATCHER_CACHE.clear()
+            _MATCHER_CACHE[key] = matcher
+        return _match_batch(matcher, masked, text)
+
+    out = df.withColumn("_assign", assign_udf(F.col("masked"), F.col("text")))
+    return out.select(
+        *[c for c in df.columns],
+        F.col("_assign.template").alias("template"),
+        F.col("_assign.event_id").alias("event_id"),
+        F.col("_assign.parameters").alias("parameters"),
+        F.col("_assign.matched").alias("matched"),
     )
-    out_cols = [f.name for f in out_schema.fields]
-    return df.mapInPandas(_assign_fn(bc, token, params, with_params, out_cols), out_schema)

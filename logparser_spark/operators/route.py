@@ -34,12 +34,24 @@ def with_sink_id(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
 
 def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
                 mode: str = "overwrite") -> None:
+    """One-pass fan-out write.
+
+    The repartition clusters rows by sink (plus a conv_id sub-bucket to
+    keep parallelism when one sink dominates) so each task writes ~1 sink
+    directory instead of every task writing every sink — the standard fix
+    for the dynamic-partition small-files explosion: files scale with
+    tasks, not tasks × sinks.
+    """
     cfg = cfg or PipelineConfig()
     if "sink_id" not in df.columns:
         df = with_sink_id(df, cfg)
-    out = df.withColumn("parameters", F.to_json("parameters")) if "parameters" in df.columns else df
+    clustered = df.repartition(
+        cfg.num_partitions,
+        F.col("sink_id"),
+        bucket_expr("conv_id", max(cfg.num_partitions // 8, 1)),
+    )
     (
-        out.write.format(cfg.sink_format)
+        clustered.write.format(cfg.sink_format)
         .mode(mode)
         .partitionBy("sink_id")
         .save(path)

@@ -116,11 +116,11 @@ def run_pipeline(
     assigned = assign_templates(pending, clusters, cfg.drain)
     enriched = enrich(assigned, lkp_role, lkp_tool)
     routed = with_sink_id(enriched, cfg)
-    routed = routed.withColumn("parameters", F.to_json("parameters"))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        routed.write.format(cfg.sink_format)
+        routed.repartition(cfg.num_partitions, F.col("ckpt_bucket"), F.col("sink_id"))
+        .write.format(cfg.sink_format)
         .mode("overwrite")
         .partitionBy("ckpt_bucket", "sink_id")
         .save(routed_path)

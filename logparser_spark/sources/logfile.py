@@ -1,0 +1,69 @@
+"""Raw log-file source: the reference's S1/S2 entry path.
+
+``log_format`` strings like ``'<Date> <Time> <Pid> <Level> <Component>:
+<Content>'`` compile to a regex that splits each raw line into header
+columns + the free-text ``Content`` (reference
+``generate_logformat_regex`` ≈L325–340 / ``log_to_dataframe`` ≈L303–323).
+Here the split is a chain of native ``regexp_extract`` projections over
+``spark.read.text`` — codegen'd, no Python.  Unmatched lines are routed to
+a ``_corrupt`` flag instead of silently dropped (dead-letter policy,
+SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def compile_log_format(log_format: str) -> tuple[list[str], str]:
+    """Format spec → (header names, anchored match regex).
+
+    Spaces between fields match arbitrary whitespace runs, mirroring the
+    reference's ``\\s+`` splitter normalization.
+    """
+    headers: list[str] = []
+    parts = re.split(r"(<[^<>]+>)", log_format)
+    regex = ""
+    for part in parts:
+        if not part:
+            continue
+        if part.startswith("<") and part.endswith(">"):
+            headers.append(part[1:-1])
+            regex += "(.*?)" if part != "<Content>" else "(.*)"
+        else:
+            # re.escape escapes spaces; normalize any space run to \s+
+            escaped = re.escape(part).replace("\\ ", " ")
+            regex += re.sub(r" +", r"\\s+", escaped)
+    return headers, "^" + regex + "$"
+
+
+def read_log_file(
+    spark: SparkSession,
+    path: str,
+    log_format: str,
+    with_line_id: bool = True,
+) -> DataFrame:
+    """Read a raw log file into (LineId, headers..., Content, _corrupt).
+
+    ``LineId`` is 1-based in file order (the reference's scheme).  The
+    global ``row_number`` sort is test-scale convenience; at scale keep
+    the monotonic id (dense ids force a single-partition sort).
+    """
+    headers, rx = compile_log_format(log_format)
+    df = spark.read.text(path)
+    cols = [
+        F.regexp_extract("value", rx, i + 1).alias(h) for i, h in enumerate(headers)
+    ]
+    out = df.select(
+        F.monotonically_increasing_id().alias("_file_order"),
+        *cols,
+        (~F.col("value").rlike(rx)).alias("_corrupt"),
+        F.col("value").alias("_raw"),
+    )
+    if with_line_id:
+        w = Window.orderBy("_file_order")
+        out = out.withColumn("LineId", F.row_number().over(w))
+    return out.drop("_file_order")

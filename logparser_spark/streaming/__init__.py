@@ -1,0 +1,7 @@
+from logparser_spark.streaming.stream import (
+    streaming_assign,
+    streaming_sink_counts,
+    run_streaming_pipeline,
+)
+
+__all__ = ["streaming_assign", "streaming_sink_counts", "run_streaming_pipeline"]

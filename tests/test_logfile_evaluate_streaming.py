@@ -1,0 +1,122 @@
+"""Raw-logfile source (S1/S2), grouping-accuracy evaluator (A6), and the
+Structured Streaming pipeline variant."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.config import PipelineConfig
+from logparser_spark.operators.evaluate import grouping_accuracy, grouping_accuracy_sql
+from logparser_spark.operators.mine import mine_templates
+from logparser_spark.sources.logfile import compile_log_format, read_log_file
+from logparser_spark.sources.transcripts import transcripts_df
+from logparser_spark.streaming.stream import run_streaming_pipeline
+
+LOG_FORMAT = "<Date> <Time> <Pid> <Level> <Component>: <Content>"
+LINES = [
+    "081109 203518 143 INFO dfs.DataNode$DataXceiver: Receiving block blk_-1608999687919862906 src: /10.250.19.102:54106",
+    "081109 203518 35 INFO dfs.FSNamesystem: BLOCK* NameSystem.allocateBlock: /mnt/hadoop/x.jar. blk_-1608999687919862906",
+    "081109 204005 35 INFO dfs.FSNamesystem: BLOCK* NameSystem.addStoredBlock: blockMap updated",
+    "this line does not match the format",
+]
+
+
+def test_compile_log_format():
+    headers, rx = compile_log_format(LOG_FORMAT)
+    assert headers == ["Date", "Time", "Pid", "Level", "Component", "Content"]
+    import re
+
+    m = re.match(rx, LINES[0])
+    assert m and m.group(1) == "081109" and m.group(4) == "INFO"
+    assert m.group(6).startswith("Receiving block")
+
+
+def test_read_log_file(spark):
+    d = tempfile.mkdtemp()
+    try:
+        path = os.path.join(d, "test.log")
+        with open(path, "w") as f:
+            f.write("\n".join(LINES) + "\n")
+        df = read_log_file(spark, path, LOG_FORMAT)
+        rows = df.orderBy("LineId").collect()
+        assert [r["LineId"] for r in rows] == [1, 2, 3, 4]
+        assert rows[0]["Level"] == "INFO"
+        assert rows[0]["Content"].startswith("Receiving block")
+        # unmatched line flagged, not dropped (dead-letter policy)
+        assert [r["_corrupt"] for r in rows] == [False, False, False, True]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_grouping_accuracy_perfect_and_known(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")], "gt string, pred string"
+    )
+    r = grouping_accuracy(df, "gt", "pred").first()
+    assert (r["precision"], r["recall"], r["f1"], r["parsing_accuracy"]) == (1.0, 1.0, 1.0, 1.0)
+
+    # one line of group b mis-assigned into x
+    df2 = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y")],
+        "gt string, pred string",
+    )
+    r2 = grouping_accuracy(df2, "gt", "pred").first()
+    # gt pairs: C(2,2)+C(3,2)=1+3=4 ; pred pairs: C(3,2)+C(2,2)=4 ;
+    # true pairs: (a,x):1 + (b,y):1 = 2
+    assert r2["precision"] == 0.5 and r2["recall"] == 0.5
+    assert r2["parsing_accuracy"] == 0.0
+
+
+def test_grouping_accuracy_matches_sql_twin(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("c", "z")],
+        "gt string, pred string",
+    )
+    got = grouping_accuracy(df, "gt", "pred").toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (gt VARCHAR, pred VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", df.collect())
+    want = con.execute(grouping_accuracy_sql("t", "gt", "pred")).df()
+    assert got.to_dict("records") == want.to_dict("records")
+
+
+def test_streaming_pipeline_matches_batch(spark):
+    cfg = PipelineConfig(num_partitions=4)
+    tdf = transcripts_df(spark, 2000, 20, 0)
+    clusters = mine_templates(tdf, cfg)
+
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+        tdf.write.parquet(in_path)
+        q = run_streaming_pipeline(spark, in_path, out_path, ckpt, clusters, cfg)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out_path)
+        # batch equivalent over the same input
+        from logparser_spark.streaming.stream import streaming_assign
+
+        routed = streaming_assign(spark.read.parquet(in_path), clusters, cfg)
+        batch = routed.groupBy(
+            F.window("ts", cfg.window_duration)["start"].alias("win_start"),
+            "sink_id",
+            "event_id",
+        ).agg(F.count(F.lit(1)).alias("n_turns"))
+
+        # append mode emits only watermark-closed windows → emitted rows
+        # must be a consistent subset of the batch result
+        merged = got.join(
+            batch.withColumnRenamed("n_turns", "n_batch"),
+            ["win_start", "sink_id", "event_id"],
+            "inner",
+        )
+        assert merged.count() == got.count()
+        assert merged.filter("n_turns <> n_batch").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
