@@ -449,6 +449,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
 
 
+def q_lfa_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logparser_spark.operators.lfa import lfa_assign
+
+    return lfa_assign(_t(spark, sf_dir, "documents"), "doc_id", "text", 10)
+
+
+def q_lfa_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logparser_spark.operators.lfa import lfa_template_counts
+
+    return lfa_template_counts(_t(spark, sf_dir, "documents"), "doc_id", "text", 10)
+
+
 def q_grouping_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-style evaluator (A6): pair-F1 + parsing accuracy of the
     heuristic language-ID against the documents' labelled language."""
@@ -561,6 +573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "grouping_accuracy": q_grouping_accuracy,
+    "lfa_assign": q_lfa_assign,
+    "lfa_template_counts": q_lfa_template_counts,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -592,6 +606,18 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": SQL_KNN,
     "grouping_accuracy": _sql_grouping_accuracy(),
 }
+
+
+def _register_lfa_oracles() -> None:
+    from logparser_spark.operators.lfa import lfa_assign_sql, lfa_template_counts_sql
+
+    ORACLES["lfa_assign"] = lfa_assign_sql("documents", "doc_id", "text", 10)
+    ORACLES["lfa_template_counts"] = lfa_template_counts_sql(
+        "documents", "doc_id", "text", 10
+    )
+
+
+_register_lfa_oracles()
 
 
 def flagship(spark: SparkSession) -> DataFrame:
