@@ -449,6 +449,51 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
 
 
+def q_iplom_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPLoM Step-3 style bijection analysis (A4 family, reference
+    ``IPLoM/IPLoM.py`` ≈L270–420 ``Get_Mapping``): classify each line's
+    (token@1, token@2) pair as 1-1 / 1-M / M-1 / M-M by the distinct
+    partner cardinality in each direction; count lines per relation."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.try_element_at(tokens_expr("text"), F.lit(1)).alias("t1"),
+        F.try_element_at(tokens_expr("text"), F.lit(2)).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    fwd = base.groupBy("t1").agg(F.countDistinct("t2").alias("f"))
+    rev = base.groupBy("t2").agg(F.countDistinct("t1").alias("r"))
+    rel = (
+        base.join(fwd, "t1")
+        .join(rev, "t2")
+        .select(
+            F.when((F.col("f") == 1) & (F.col("r") == 1), "1-1")
+            .when((F.col("f") > 1) & (F.col("r") == 1), "1-M")
+            .when((F.col("f") == 1) & (F.col("r") > 1), "M-1")
+            .otherwise("M-M")
+            .alias("relation")
+        )
+    )
+    return rel.groupBy("relation").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+def _sql_iplom_mapping() -> str:
+    toks = _toks_sql("text")
+    return f"""
+WITH base AS (
+  SELECT {toks}[1] AS t1, {toks}[2] AS t2 FROM documents
+  WHERE len({toks}) >= 2
+),
+fwd AS (SELECT t1, count(DISTINCT t2) AS f FROM base GROUP BY t1),
+rev AS (SELECT t2, count(DISTINCT t1) AS r FROM base GROUP BY t2)
+SELECT CASE WHEN f = 1 AND r = 1 THEN '1-1'
+            WHEN f > 1 AND r = 1 THEN '1-M'
+            WHEN f = 1 AND r > 1 THEN 'M-1'
+            ELSE 'M-M' END AS relation,
+       count(*) AS n_lines
+FROM base JOIN fwd USING (t1) JOIN rev USING (t2)
+GROUP BY 1
+"""
+
+
 def q_lfa_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logparser_spark.operators.lfa import lfa_assign
 
@@ -575,6 +620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_accuracy": q_grouping_accuracy,
     "lfa_assign": q_lfa_assign,
     "lfa_template_counts": q_lfa_template_counts,
+    "iplom_mapping": q_iplom_mapping,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -615,6 +661,7 @@ def _register_lfa_oracles() -> None:
     ORACLES["lfa_template_counts"] = lfa_template_counts_sql(
         "documents", "doc_id", "text", 10
     )
+    ORACLES["iplom_mapping"] = _sql_iplom_mapping()
 
 
 _register_lfa_oracles()

@@ -42,16 +42,21 @@ def with_masked(df: DataFrame, params: DrainParams) -> DataFrame:
 
 def _mine_partition(params: DrainParams):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         tree = DrainTree(params)
-        # dedup across the whole partition, preserving first-seen order
+        # dedup across the whole partition, preserving first-seen order;
+        # per-batch factorize + bincount is vectorized (no per-row Python)
         seen: dict[str, int] = {}
         order: list[str] = []
         for pdf in batches:
-            for text in pdf["masked"]:
+            codes, uniques = pd.factorize(pdf["masked"])
+            counts = np.bincount(codes, minlength=len(uniques))
+            for text, cnt in zip(uniques, counts):
                 if text in seen:
-                    seen[text] += 1
+                    seen[text] += int(cnt)
                 else:
-                    seen[text] = 1
+                    seen[text] = int(cnt)
                     order.append(text)
         for text in order:
             cluster = tree.add_message(text.split())

@@ -45,6 +45,10 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     if "sink_id" not in df.columns:
         df = with_sink_id(df, cfg)
+    # masked is derived (re-computable from text); don't ship it through
+    # the write-side shuffle or persist it to sinks
+    if "masked" in df.columns:
+        df = df.drop("masked")
     clustered = df.repartition(
         cfg.num_partitions,
         F.col("sink_id"),

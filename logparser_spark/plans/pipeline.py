@@ -116,6 +116,8 @@ def run_pipeline(
     assigned = assign_templates(pending, clusters, cfg.drain)
     enriched = enrich(assigned, lkp_role, lkp_tool)
     routed = with_sink_id(enriched, cfg)
+    if "masked" in routed.columns:  # derived column — not persisted
+        routed = routed.drop("masked")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (

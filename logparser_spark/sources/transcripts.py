@@ -170,37 +170,55 @@ def transcripts_df(
 
     tpl_idx = F.pmod(t * 7 + conv, F.lit(N_TEMPLATES))
 
-    def fs(pattern: str, *args) -> F.Column:
-        return F.format_string(pattern, *args)
+    # Build the text with a lazy CASE chain of cheap concat/lpad/conv
+    # expressions: only the selected template's string is computed per row.
+    # (format_string/java.util.Formatter over an eager 20-element array was
+    # ~20x more work per row and dominated generation wall-time.)
+    def s(c) -> F.Column:
+        return c.cast("string")
 
-    texts = F.array(
-        fs(TEMPLATE_BANK[0], p0, p1, p2, p3),
-        fs(TEMPLATE_BANK[1], p4, p0),
-        fs(TEMPLATE_BANK[2], p0),
-        fs(TEMPLATE_BANK[3], p0),
-        fs(TEMPLATE_BANK[4], p0, p2, p3, p4),
-        fs(TEMPLATE_BANK[5], p4, p1, p0),
-        fs(TEMPLATE_BANK[6], tool_or_none, p0),
-        fs(TEMPLATE_BANK[7], tool_or_none, F.pmod(p4, F.lit(5)), p1),
-        fs(TEMPLATE_BANK[8], F.pmod(p4, F.lit(7)), F.lit(7), p0),
-        fs(TEMPLATE_BANK[9], p0, F.pmod(p4, F.lit(32))),
-        fs(TEMPLATE_BANK[10], p4, p2),
-        fs(TEMPLATE_BANK[11], p0, p3),
-        fs(TEMPLATE_BANK[12], p3, p1),
-        fs(TEMPLATE_BANK[13], F.pmod(p4, F.lit(256)), p2),
-        fs(TEMPLATE_BANK[14], F.pmod(p4, F.lit(7)), p1),
-        fs(TEMPLATE_BANK[15], p0, p1),
-        fs(TEMPLATE_BANK[16], p4, F.pmod(p4, F.lit(12))),
-        fs(TEMPLATE_BANK[17], p3, p1),
-        fs(TEMPLATE_BANK[18], p1, F.pmod(p4, F.lit(50))),
-        fs(TEMPLATE_BANK[19], F.pmod(p1, F.lit(4096)), p4),
-    )
-    text = F.element_at(texts, (tpl_idx + 1).cast("int"))
+    def hx(c) -> F.Column:  # python's %x — lowercase hex
+        return F.lower(F.conv(s(c), 10, 16))
+
+    def cc(*parts) -> F.Column:
+        return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
+
+    branches = [
+        cc("Received block blk_", s(p0), " of size ", s(p1), " from 10.0.", s(p2), ".", s(p3)),
+        cc("PacketResponder ", s(p4), " for block blk_", s(p0), " terminating"),
+        cc("Verification succeeded for blk_", s(p0)),
+        cc("Exception in receiveBlock for block blk_", s(p0),
+           " java.io.IOException: Connection reset"),
+        cc("user u", s(p0), " logged in from 10.1.", s(p2), ".", s(p3), ":", s(p4)),
+        cc("query q", s(p4), " finished in ", s(p1), " ms rows=", s(p0)),
+        cc("tool call ", tool_or_none, " started with payload 0x", hx(p0)),
+        cc("tool call ", tool_or_none, " finished status ", s(F.pmod(p4, F.lit(5))),
+           " in ", s(p1), " ms"),
+        cc("retry ", s(F.pmod(p4, F.lit(7))), " of 7 for request 0x", hx(p0)),
+        cc("cache miss for key 0x", hx(p0), " shard ", s(F.pmod(p4, F.lit(32)))),
+        cc("writing checkpoint ", s(p4), " to /srv/job/", s(p2), "/ckpt"),
+        cc("scheduler assigned task ", s(p0), " to worker w", s(p3)),
+        cc("heartbeat from worker w", s(p3), " lag ", s(p1), " ms"),
+        cc("error code ", s(F.pmod(p4, F.lit(256))), " while opening /srv/job/", s(p2), "/data"),
+        cc("compaction of level ", s(F.pmod(p4, F.lit(7))), " finished bytes=", s(p1)),
+        cc("session 0x", hx(p0), " expired after ", s(p1), " ms"),
+        cc("planning query q", s(p4), " with ", s(F.pmod(p4, F.lit(12))), " joins"),
+        cc("broadcast table t", s(p3), " size ", s(p1), " bytes"),
+        cc("shuffle spill ", s(p1), " bytes in stage ", s(F.pmod(p4, F.lit(50)))),
+        cc("assistant response generated tokens=", s(F.pmod(p1, F.lit(4096))),
+           " latency=", s(p4), " ms"),
+    ]
+    text = branches[0]
+    expr = None
+    for i, b in enumerate(branches):
+        expr = F.when(tpl_idx == i, b) if expr is None else expr.when(tpl_idx == i, b)
+    text = expr.otherwise(F.lit(""))
 
     ts = F.timestamp_seconds(F.lit(EPOCH_2024) + turn_idx * 60 + F.pmod(conv, F.lit(37)))
 
     return df.select(
-        F.format_string("conv%06d", conv).alias("conv_id"),
+        # conv numbers stay < 1e6, so lpad == python's %06d here
+        F.concat(F.lit("conv"), F.lpad(s(conv), 6, "0")).alias("conv_id"),
         turn_idx.cast("int").alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
