@@ -1,0 +1,79 @@
+"""Physical-plan audits: the plans we claim are the plans Catalyst picks.
+
+These guard the scale properties (SURVEY §4, docs/SCALE.md): predicate
+pushdown and column pruning reach the parquet scan, enrichment joins stay
+broadcast, aggregation is partial+final, and assignment adds no shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.config import DrainParams, PipelineConfig
+from logparser_spark.drain import Cluster
+from logparser_spark.operators.aggregate import salted_agg
+from logparser_spark.operators.assign import assign_templates
+from logparser_spark.operators.enrich import enrich
+from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").count()
+    plan = _plan(q)
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
+
+
+def test_enrich_is_broadcast_not_sortmerge(spark):
+    t = spark.createDataFrame(
+        [("c0", 0, "user", "x", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    e = enrich(t, lkp_role_df(spark), lkp_tool_df(spark))
+    plan = _plan(e)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_has_partial_and_final_stages(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = salted_agg(ev.select(F.col("user_id"), "event_id"), ["user_id"], salt_buckets=4)
+    plan = _plan(out)
+    # four HashAggregates: partial+final for each of the two stages
+    assert plan.count("HashAggregate") == 4
+
+
+def test_assignment_adds_no_shuffle(spark):
+    t = spark.createDataFrame(
+        [("c0", 0, "user", "hello world", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    clusters = [Cluster(tokens=["hello", "<*>"])]
+    a = assign_templates(t, clusters, DrainParams())
+    plan = _plan(a)
+    assert "Exchange" not in plan  # mask + pandas_udf + project only
+    assert "ArrowEvalPython" in plan
+
+
+def test_whole_stage_codegen_covers_masking(spark):
+    from logparser_spark.functions.masking import mask_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(mask_expr("text").alias("m"))
+    plan = _plan(q)
+    # "*(n)" prefixes mark WholeStageCodegen stages in this rendering
+    assert plan.lstrip().startswith("*(1) Project [regexp_replace")
