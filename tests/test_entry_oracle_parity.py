@@ -9,7 +9,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
+SF = __import__("os").environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
