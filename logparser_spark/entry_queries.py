@@ -449,6 +449,114 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) over events."""
+    from logparser_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 30, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join: each error event matched to the user's latest signup
+    at-or-before it (Spark lacks native ASOF; union-tag-window op)."""
+    from logparser_spark.operators.sessions import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("ref_event")
+    )
+    j = asof_join(errors, signups, "user_id", "ts", right_cols=["ref_event"])
+    return j.select("event_id", "user_id", F.col("ref_event_r").alias("ref_event_id"))
+
+
+SQL_ASOF = """
+SELECT l.event_id, l.user_id, r.event_id AS ref_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events falling in each user's first active hour."""
+    from logparser_spark.operators.sessions import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    j = range_join(ev.select("user_id", "ts", "event_id"), iv, "user_id")
+    return j.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_first_hour"))
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 1 HOUR AS end_ts
+            FROM events GROUP BY user_id)
+SELECT e.user_id, count(*) AS n_first_hour
+FROM events e JOIN iv ON e.user_id = iv.user_id
+            AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+GROUP BY e.user_id
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(F.pmod(k, F.lit(10)).alias("k_mod")).groupBy("k_mod").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_JSON = (
+    "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, "
+    "count(*) AS n FROM events GROUP BY 1"
+)
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup: counts by (event_type × hour) with all subtotals."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .cube("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CUBE = (
+    "SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n "
+    "FROM events GROUP BY CUBE (event_type, hr)"
+)
+
+
 def q_iplom_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPLoM Step-3 style bijection analysis (A4 family, reference
     ``IPLoM/IPLoM.py`` ≈L270–420 ``Get_Mapping``): classify each line's
@@ -621,6 +729,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lfa_assign": q_lfa_assign,
     "lfa_template_counts": q_lfa_template_counts,
     "iplom_mapping": q_iplom_mapping,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "json_extract": q_json_extract,
+    "cube_counts": q_cube_counts,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -662,6 +775,11 @@ def _register_lfa_oracles() -> None:
         "documents", "doc_id", "text", 10
     )
     ORACLES["iplom_mapping"] = _sql_iplom_mapping()
+    ORACLES["sessionize"] = SQL_SESSIONIZE
+    ORACLES["asof_join"] = SQL_ASOF
+    ORACLES["range_join"] = SQL_RANGE_JOIN
+    ORACLES["json_extract"] = SQL_JSON
+    ORACLES["cube_counts"] = SQL_CUBE
 
 
 _register_lfa_oracles()
