@@ -70,6 +70,7 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.task.cpus", os.environ.get("SPARK_TASK_CPUS", "1"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

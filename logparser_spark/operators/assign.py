@@ -60,6 +60,10 @@ class _Matcher:
         self.tree = DrainTree(params)
         for t in templates:
             self.tree.insert(Cluster(tokens=t.split(" ") if t else [""]))
+        # exact-template fallback: a text whose masked form IS a mined
+        # template always counts as matched, even when similarity search
+        # can't reach it (e.g. all-wildcard templates score sim=0)
+        self.template_set = frozenset(templates)
         self.memo: dict[str, tuple[str, str, bool]] = {}
         self.param_rx: dict[str, object] = {}
         # leaf-node id → precomputed candidate arrays
@@ -95,7 +99,7 @@ class _Matcher:
             if not cands:
                 for i in idxs:
                     t = uniques[i]
-                    results[i] = (t, event_id_of(t), False)
+                    results[i] = (t, event_id_of(t), t in self.template_set)
                 continue
             mat = np.array([tok_lists[i] for i in idxs], dtype=object)  # [n, L]
             n = len(idxs)
@@ -119,7 +123,7 @@ class _Matcher:
                     results[i] = (tpl, event_id_of(tpl), True)
                 else:
                     t = uniques[i]
-                    results[i] = (t, event_id_of(t), False)
+                    results[i] = (t, event_id_of(t), t in self.template_set)
         return results  # type: ignore[return-value]
 
     def regex_for(self, template: str):
