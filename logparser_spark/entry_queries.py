@@ -687,6 +687,19 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_window_counts(routed, CFG)
 
 
+def q_spell_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the Spell (LCS) strategy — rows-only."""
+    clusters = mine_templates(_transcripts(spark, sf_dir), CFG, strategy="spell")
+    return spark.createDataFrame(
+        [(c.template, int(c.count)) for c in clusters],
+        "template string, occurrences long",
+    ).select(
+        F.substring(F.md5("template"), 1, 8).alias("event_id"),
+        "template",
+        "occurrences",
+    )
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
@@ -738,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
     "pipeline_sink_counts": q_pipeline_sink_counts,
+    "spell_template_table": q_spell_template_table,
     "simhash_candidates": q_simhash_candidates,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,

@@ -43,7 +43,55 @@ ASSIGN_FIELDS = [
 ]
 
 
-class _Matcher:
+class _BaseMatcher:
+    """Shared matcher plumbing: memoization + vectorized per-template
+    parameter extraction. Subclasses implement ``match_unique``."""
+
+    def __init__(self, templates: list[str], with_params: bool):
+        self.with_params = with_params
+        # exact-template fallback: a text whose masked form IS a mined
+        # template always counts as matched, even when similarity search
+        # can't reach it (e.g. all-wildcard templates score sim=0)
+        self.template_set = frozenset(templates)
+        self.memo: dict[str, tuple[str, str, bool]] = {}
+        self.param_rx: dict[str, object] = {}
+
+    def regex_for(self, template: str):
+        """Compiled parameter regex per template (None → no parameters)."""
+        if template not in self.param_rx:
+            self.param_rx[template] = template_to_param_regex(template)
+        return self.param_rx[template]
+
+    def extract_params_vectorized(
+        self, texts: pd.Series, codes, results: list
+    ) -> pd.Series:
+        """Per-template vectorized extraction: one C-regex pass per
+        template in the batch via ``str.extract`` instead of per-row
+        Python ``findall`` (reference semantics preserved — groups are
+        the ``<*>`` positions of the final template, stripped)."""
+        out = pd.Series([[] for _ in range(len(texts))], index=texts.index, dtype=object)
+        if not self.with_params:
+            return out
+        # group rows by *template* (small), not by unique text (large)
+        tpl_of_code = np.array(
+            [r[0] if r[2] else None for r in results], dtype=object
+        )
+        tpl_s = pd.Series(tpl_of_code[codes], index=texts.index)
+        for template, idx in tpl_s.groupby(tpl_s).groups.items():
+            rx = self.regex_for(template)
+            if rx is None:
+                continue
+            ext = texts.loc[idx].str.extract(rx)
+            vals = ext.apply(lambda col: col.str.strip())
+            lists = [
+                [] if any(p is None or p != p for p in row) else list(row)
+                for row in vals.itertuples(index=False, name=None)
+            ]
+            out.loc[idx] = pd.Series(lists, index=idx, dtype=object)
+        return out
+
+
+class _Matcher(_BaseMatcher):
     """Read-only matcher over a fixed template set.
 
     Matching is vectorized: rows group by their tree-leaf key (token
@@ -55,17 +103,11 @@ class _Matcher:
     """
 
     def __init__(self, templates: list[str], params: DrainParams, with_params: bool):
+        super().__init__(templates, with_params)
         self.params = params
-        self.with_params = with_params
         self.tree = DrainTree(params)
         for t in templates:
             self.tree.insert(Cluster(tokens=t.split(" ") if t else [""]))
-        # exact-template fallback: a text whose masked form IS a mined
-        # template always counts as matched, even when similarity search
-        # can't reach it (e.g. all-wildcard templates score sim=0)
-        self.template_set = frozenset(templates)
-        self.memo: dict[str, tuple[str, str, bool]] = {}
-        self.param_rx: dict[str, object] = {}
         # leaf-node id → precomputed candidate arrays
         self._leaf_cache: dict[int, tuple] = {}
 
@@ -126,43 +168,34 @@ class _Matcher:
                     results[i] = (t, event_id_of(t), t in self.template_set)
         return results  # type: ignore[return-value]
 
-    def regex_for(self, template: str):
-        """Compiled parameter regex per template (None → no parameters)."""
-        if template not in self.param_rx:
-            self.param_rx[template] = template_to_param_regex(template)
-        return self.param_rx[template]
 
-    def extract_params_vectorized(
-        self, texts: pd.Series, codes, results: list
-    ) -> pd.Series:
-        """Per-template vectorized extraction: one C-regex pass per
-        template in the batch via ``str.extract`` instead of per-row
-        Python ``findall`` (reference semantics preserved — groups are
-        the ``<*>`` positions of the final template, stripped)."""
-        out = pd.Series([[] for _ in range(len(texts))], index=texts.index, dtype=object)
-        if not self.with_params:
-            return out
-        # group rows by *template* (small), not by unique text (large)
-        tpl_of_code = np.array(
-            [r[0] if r[2] else None for r in results], dtype=object
-        )
-        tpl_s = pd.Series(tpl_of_code[codes], index=texts.index)
-        for template, idx in tpl_s.groupby(tpl_s).groups.items():
-            rx = self.regex_for(template)
-            if rx is None:
-                continue
-            ext = texts.loc[idx].str.extract(rx)
-            vals = ext.apply(lambda col: col.str.strip())
-            lists = [
-                [] if any(p is None or p != p for p in row) else list(row)
-                for row in vals.itertuples(index=False, name=None)
-            ]
-            out.loc[idx] = pd.Series(lists, index=idx, dtype=object)
+class _SpellMatcher(_BaseMatcher):
+    """Read-only LCS matcher over a fixed Spell template set (memoized
+    per unique text; LCS decision rule of :mod:`logparser_spark.spell`)."""
+
+    def __init__(self, templates: list[str], tau: float, with_params: bool):
+        super().__init__(templates, with_params)
+        from logparser_spark.spell import SpellCluster, SpellMap, SpellParams
+
+        self.smap = SpellMap(SpellParams(tau))
+        for t in templates:
+            self.smap.clusters.append(
+                SpellCluster(tokens=t.split(" ") if t else [""])
+            )
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        out = []
+        for u in uniques:
+            hit = self.smap.search(u.split() or [""])
+            if hit is not None:
+                out.append((hit.template, event_id_of(hit.template), True))
+            else:
+                out.append((u, event_id_of(u), u in self.template_set))
         return out
 
 
 # worker-global cache: one matcher per (templates identity, params) per worker
-_MATCHER_CACHE: dict[tuple, _Matcher] = {}
+_MATCHER_CACHE: dict[tuple, _BaseMatcher] = {}
 
 
 def _match_batch(matcher: _Matcher, masked: pd.Series, text: pd.Series) -> pd.DataFrame:
@@ -193,16 +226,19 @@ def _match_batch(matcher: _Matcher, masked: pd.Series, text: pd.Series) -> pd.Da
 
 def assign_templates(
     df: DataFrame,
-    clusters: list[Cluster],
+    clusters: list,
     params: DrainParams | None = None,
     with_params: bool = True,
+    strategy: str = "drain",
+    tau: float = 0.5,
 ) -> DataFrame:
     """Attach ``masked, template, event_id, parameters, matched`` columns.
 
     Implemented as a scalar Arrow pandas_udf over (masked, text) returning
     a struct — passthrough columns never cross the JVM↔Python boundary,
     so Arrow traffic is just the two string columns in and the assignment
-    struct out.
+    struct out. ``strategy`` selects the matching engine: ``drain``
+    (fixed-depth tree) or ``spell`` (LCS).
     """
     params = params or DrainParams()
     if "masked" not in df.columns:
@@ -216,10 +252,13 @@ def assign_templates(
 
     @F.pandas_udf(T.StructType(ASSIGN_FIELDS[1:]))  # template..matched
     def assign_udf(masked: pd.Series, text: pd.Series) -> pd.DataFrame:
-        key = (token, params, wp)
+        key = (token, strategy, tau, params, wp)
         matcher = _MATCHER_CACHE.get(key)
         if matcher is None:
-            matcher = _Matcher(bc.value, params, wp)
+            if strategy == "spell":
+                matcher = _SpellMatcher(bc.value, tau, wp)
+            else:
+                matcher = _Matcher(bc.value, params, wp)
             if len(_MATCHER_CACHE) > 8:
                 _MATCHER_CACHE.clear()
             _MATCHER_CACHE[key] = matcher

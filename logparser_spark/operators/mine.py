@@ -40,11 +40,16 @@ def with_masked(df: DataFrame, params: DrainParams) -> DataFrame:
     return df.withColumn("masked", mask_expr("text", params.rex))
 
 
-def _mine_partition(params: DrainParams):
+def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0.5):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        tree = DrainTree(params)
+        if strategy == "spell":
+            from logparser_spark.spell import SpellMap, SpellParams
+
+            tree = SpellMap(SpellParams(tau))
+        else:
+            tree = DrainTree(params)
         # dedup across the whole partition, preserving first-seen order;
         # per-batch factorize + bincount is vectorized (no per-row Python)
         seen: dict[str, int] = {}
@@ -75,7 +80,9 @@ def mine_templates(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
     sample_one_in: int = 1,
-) -> list[Cluster]:
+    strategy: str = "drain",
+    tau: float = 0.5,
+) -> list:
     """Mine the global template set from a (already masked or raw) frame.
 
     ``sample_one_in > 1`` mines on a deterministic md5-bucket sample of
@@ -95,5 +102,12 @@ def mine_templates(
         .repartition(cfg.num_partitions, F.col("conv_id"))
         .sortWithinPartitions("conv_id", "turn_idx")
     )
-    rows = part.mapInPandas(_mine_partition(params), "template string, count long").collect()
-    return merge_template_sets([[(r["template"], r["count"]) for r in rows]], params)
+    rows = part.mapInPandas(
+        _mine_partition(params, strategy, tau), "template string, count long"
+    ).collect()
+    pairs = [[(r["template"], r["count"]) for r in rows]]
+    if strategy == "spell":
+        from logparser_spark.spell import SpellParams, merge_spell_sets
+
+        return merge_spell_sets(pairs, SpellParams(tau))
+    return merge_template_sets(pairs, params)
