@@ -57,7 +57,7 @@ DUP_OFFSET = 1_000_000
 
 # DuckDB SQL fragments shared by several oracles ----------------------------
 
-_TOKS = "list_filter(string_split(trim({c}), ' '), t -> t <> '')"
+_TOKS = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), t -> t <> '')"
 
 
 def _toks_sql(c: str) -> str:
@@ -261,7 +261,7 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING = (
     "SELECT event_id, user_id, "
     "count(*) OVER w AS rolling_n, "
-    "sum(CAST(floor(value) AS BIGINT)) OVER w AS rolling_sum "
+    "CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS rolling_sum "
     "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
 )
@@ -302,7 +302,7 @@ def q_tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q1 = (
     "SELECT l_returnflag, l_linestatus, "
     "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
-    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents, "
     "count(*) AS n_rows "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
     "GROUP BY l_returnflag, l_linestatus"
@@ -328,7 +328,7 @@ def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NATION = (
     "SELECT r_name, n_name, count(*) AS n_customers, "
-    "sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents "
+    "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents "
     "FROM customer JOIN nation ON c_nationkey = n_nationkey "
     "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"
 )
@@ -471,8 +471,8 @@ WITH o AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
   FROM o
 )
 SELECT user_id, session_id, count(*) AS n_events,

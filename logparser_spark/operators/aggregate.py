@@ -33,23 +33,45 @@ def salted_agg(
 ) -> DataFrame:
     """Two-stage salted aggregate.
 
-    ``aggs`` maps output column → (partial_fn, final_fn) over an input
-    column, e.g. ``{"n": ("count", "sum")}``; default is a row count.
-    ``salt_on`` columns feed the deterministic salt (defaults to a uniform
-    random-ish but deterministic function of all key columns plus
-    ``turn_idx`` when present).
+    ``aggs`` maps output column → ``("count", "sum")`` (row count) or
+    ``(input_col, partial_fn, final_fn)`` for any aggregate with a
+    distributive/algebraic decomposition — e.g. ``("value", "sum", "sum")``,
+    ``("value", "max", "max")``, ``("value", "min", "min")``.  Default is a
+    row count named ``n``.  Non-decomposable aggregates (avg, median) must
+    be expressed by the caller as sum+count.  ``salt_on`` columns feed the
+    deterministic salt (defaults to a uniform random-ish but deterministic
+    function of all key columns plus ``turn_idx`` when present).
     """
+    aggs = aggs or {"n": ("count", "sum")}
     key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     named = [k.alias(f"_k{i}") for i, k in enumerate(key_cols)]
     key_names = [f"_k{i}" for i in range(len(key_cols))]
+
+    specs = []  # (out_col, src_col | None, partial_fn, final_fn)
+    for out_col, spec in aggs.items():
+        if len(spec) == 2:
+            pfn, ffn = spec
+            specs.append((out_col, None, pfn, ffn))
+        else:
+            src, pfn, ffn = spec
+            specs.append((out_col, src, pfn, ffn))
 
     salt_src = salt_on or [c for c in ("turn_idx", "conv_id", "event_id") if c in df.columns]
     salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]) if salt_src else F.spark_partition_id(),
                   F.lit(salt_buckets)).alias("_salt")
 
-    base = df.select(*named, salt)
-    stage1 = base.groupBy(*key_names, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
-    stage2 = stage1.groupBy(*key_names).agg(F.sum("_partial").alias("n"))
+    src_cols = sorted({s[1] for s in specs if s[1] is not None})
+    base = df.select(*named, salt, *src_cols)
+    partials = [
+        getattr(F, pfn)(F.lit(1) if src is None else F.col(src)).alias(f"_p_{out_col}")
+        for out_col, src, pfn, _ in specs
+    ]
+    finals = [
+        getattr(F, ffn)(F.col(f"_p_{out_col}")).alias(out_col)
+        for out_col, _, _, ffn in specs
+    ]
+    stage1 = base.groupBy(*key_names, "_salt").agg(*partials)
+    stage2 = stage1.groupBy(*key_names).agg(*finals)
     out = stage2
     for i, k in enumerate(keys):
         name = k if isinstance(k, str) else f"key{i}"

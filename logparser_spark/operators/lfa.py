@@ -72,7 +72,7 @@ def lfa_template_counts(
 
 def lfa_assign_sql(table: str, id_col: str, text_col: str, min_support: int = 10) -> str:
     """DuckDB-SQL twin of :func:`lfa_assign`."""
-    toks = f"list_filter(string_split(trim({text_col}), ' '), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), t -> t <> '')"
     return f"""
 WITH toks AS (
   SELECT {id_col}, unnest({toks}) AS token,

@@ -21,8 +21,11 @@ from logparser_spark.functions.hashing import bucket_expr
 
 def with_sink_id(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     cfg = cfg or PipelineConfig()
+    # concat/lpad, not format_string: java.util.Formatter is ~µs/call and
+    # this projection runs on every routed row (CLAUDE.md hot-path rule)
+    bucket = bucket_expr("event_id", cfg.template_sink_buckets)
     ok = F.concat_ws(
-        "-", F.col("role"), F.format_string("t%02d", bucket_expr("event_id", cfg.template_sink_buckets))
+        "-", F.col("role"), F.concat(F.lit("t"), F.lpad(bucket.cast("string"), 2, "0"))
     )
     sink = (
         F.when(~F.col("matched"), F.lit("dead")).otherwise(ok)

@@ -88,10 +88,14 @@ def asof_join(
         ],
     )
     u = lt.unionByName(rt)
-    # right rows sort before left rows at equal ts → "at or before"
+    # right rows sort before left rows at equal ts → "at or before".
+    # Final tiebreak on the right payload columns: when several right rows
+    # share (key, ts), the greatest payload tuple wins deterministically
+    # (left rows carry NULL payloads, so the tiebreak never reorders a
+    # left row relative to the rights it must see).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts_col), F.col("_side"))
+        .orderBy(F.col(ts_col), F.col("_side"), *[F.col(c + suffix) for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in right_cols:

@@ -57,7 +57,7 @@ def lang_id_expr(col: Column | str) -> Column:
 
 def lang_id_sql(col_sql: str) -> str:
     """DuckDB-SQL equivalent of :func:`lang_id_expr`."""
-    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array(trim({col_sql}), '\\s+'), t -> t <> '')"
     score = {
         lang: f"len(list_filter({toks}, t -> list_contains({list(words)!r}, t)))"
         for lang, words in LANG_STOPWORDS.items()
@@ -93,7 +93,7 @@ def quality_exprs(col: Column | str) -> dict[str, Column]:
 
 
 def quality_sql(col_sql: str) -> dict[str, str]:
-    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array(trim({col_sql}), '\\s+'), t -> t <> '')"
     n_tokens = f"len({toks})"
     n_chars = f"length({col_sql})"
     punct = f"len(regexp_extract_all({col_sql}, '{PUNCT_RX}'))"
@@ -120,7 +120,7 @@ def token_counts_exprs(col: Column | str) -> dict[str, Column]:
 
 
 def token_counts_sql(col_sql: str) -> dict[str, str]:
-    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array(trim({col_sql}), '\\s+'), t -> t <> '')"
     return {
         "ws_tokens": f"len({toks})",
         "bpe_ish_tokens": f"len(regexp_extract_all({col_sql}, '{BPE_ISH_RX}'))",
@@ -137,7 +137,7 @@ def fingerprint_expr(col: Column | str) -> Column:
 
 
 def fingerprint_sql(col_sql: str) -> str:
-    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array(trim({col_sql}), '\\s+'), t -> t <> '')"
     return f"md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
 
 
@@ -152,7 +152,7 @@ def bottomk_sketch_expr(col: Column | str, k: int = 8, shingle_n: int = 3) -> Co
 
 
 def bottomk_sketch_sql(col_sql: str, k: int = 8, shingle_n: int = 3) -> str:
-    toks = f"list_filter(string_split(trim({col_sql}), ' '), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array(trim({col_sql}), '\\s+'), t -> t <> '')"
     kk = f"greatest(len({toks}) - {shingle_n - 1}, 1)"
     sh = (
         f"list_distinct(list_transform(generate_series(1, {kk}), "

@@ -12,8 +12,11 @@ Two mirrored implementations:
 * :func:`transcripts_pdf` — an exact pandas mirror used by the sequential
   oracle tests; equality of the two is itself asserted in tests.
 
-All derived values are integer arithmetic on the global turn number ``t``
-(64-bit safe for t < 2^40), so both implementations agree bit-for-bit.
+All derived values are integer arithmetic on the global turn number ``t``,
+with multiplies reduced mod their modulus first so no intermediate exceeds
+``(1e7-1) * 4435761 < 2^63`` — 64-bit safe for t < 2^39 (≈5.5e11 turns),
+so both implementations agree bit-for-bit (the pandas mirror uses Python
+ints, which never wrap; the Spark side must not wrap either).
 Texts are rendered from a fixed bank of message templates with injected
 parameters (IPs, ``blk_`` ids, hex ids, durations, paths) chosen so the
 Drain masking rules and templating have known ground truth (FIXTURES.md §1).
@@ -62,7 +65,11 @@ N_TEMPLATES = len(TEMPLATE_BANK)
 def _params_for(t: int) -> tuple[int, ...]:
     """Five deterministic parameter ints derived from the turn number."""
     return (
-        (t * 2654435761) % 10_000_000,   # p0: big id (blk / hex / session)
+        # (t * 2654435761) % 1e7, computed as (t%1e7)*(2654435761%1e7)%1e7
+        # so the Spark twin's int64 multiply cannot overflow (identical
+        # value by modular arithmetic; 2654435761 % 1e7 == 4435761)
+        ((t % 10_000_000) * 4_435_761) % 10_000_000,  # p0: big id
+
         (t * 97 + 13) % 100_000,         # p1: size / ms / bytes
         t % 200,                          # p2: small octet
         (t * 3) % 250,                    # p3: small octet
@@ -155,7 +162,7 @@ def transcripts_df(
     conv = F.when(t < skew_cut, F.lit(0)).otherwise(F.lit(1) + F.pmod(rest, n_rest))
     turn_idx = F.when(t < skew_cut, t).otherwise(F.floor(rest / n_rest))
 
-    p0 = F.pmod(t * F.lit(2654435761), F.lit(10_000_000))
+    p0 = F.pmod(F.pmod(t, F.lit(10_000_000)) * F.lit(4_435_761), F.lit(10_000_000))
     p1 = F.pmod(t * 97 + 13, F.lit(100_000))
     p2 = F.pmod(t, F.lit(200))
     p3 = F.pmod(t * 3, F.lit(250))

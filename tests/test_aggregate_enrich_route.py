@@ -36,6 +36,30 @@ def test_salted_equals_naive_on_skew(spark, routed):
     assert salted.exceptAll(naive).count() == 0
 
 
+def test_salted_custom_aggs_equal_naive(spark, routed):
+    base = routed.withColumn("v", F.length("text").cast("bigint"))
+    naive = base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("total"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
+    salted = salted_agg(
+        base,
+        ["conv_id"],
+        aggs={
+            "n": ("count", "sum"),
+            "total": ("v", "sum", "sum"),
+            "mx": ("v", "max", "max"),
+            "mn": ("v", "min", "min"),
+        },
+        salt_buckets=CFG.salt_buckets,
+    ).select("conv_id", "n", "total", "mx", "mn")
+    naive = naive.select("conv_id", "n", "total", "mx", "mn")
+    assert naive.exceptAll(salted).count() == 0
+    assert salted.exceptAll(naive).count() == 0
+
+
 def test_sink_window_counts_reconcile(spark, routed):
     swc = sink_window_counts(routed, CFG)
     assert swc.agg(F.sum("n_turns")).first()[0] == routed.count()

@@ -45,6 +45,21 @@ def test_query_matches_oracle(spark, duck, name):
     got = _normalize(q(spark, SF).toPandas())
     want = _normalize(duck.execute(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    # The driver hashes raw values, so int64 `123` vs float64 `123.0` is a
+    # FAIL there even though pandas compares them equal. Replicate that:
+    # dtype *kinds* (i/u vs f) must agree column-for-column. DuckDB returns
+    # HUGEINT (-> float64 in pandas) for sum(BIGINT); oracles must CAST the
+    # outer sum to BIGINT, not just the summand.
+    kinds = {
+        c: (got[c].dtype.kind, want[c].dtype.kind)
+        for c in got.columns
+        if got[c].dtype.kind != want[c].dtype.kind
+    }
+    numericish = {k: v for k, v in kinds.items() if set(v) <= {"i", "u", "f"}}
+    assert not numericish, (
+        f"{name}: int/float dtype-kind mismatch (driver value-hash would "
+        f"differ): {numericish} — cast the oracle's outer aggregate"
+    )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 

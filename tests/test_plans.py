@@ -69,6 +69,21 @@ def test_assignment_adds_no_shuffle(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_routed_projection_has_no_format_string(spark):
+    from logparser_spark.operators.route import with_sink_id
+
+    t = spark.createDataFrame(
+        [("c0", 0, "user", "hello", "e1", True)],
+        "conv_id string, turn_idx int, role string, text string, event_id string, matched boolean",
+    )
+    routed = with_sink_id(t)
+    plan = _plan(routed)
+    # java.util.Formatter in a per-row projection is the documented
+    # hot-path anti-pattern (CLAUDE.md); concat/lpad replaces it
+    assert "format_string" not in plan
+    assert routed.filter(F.col("matched")).first()["sink_id"].startswith("user-t")
+
+
 def test_whole_stage_codegen_covers_masking(spark):
     from logparser_spark.functions.masking import mask_expr
 
