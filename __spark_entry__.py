@@ -2,7 +2,7 @@
 
 Implementations live in :mod:`logparser_spark.entry_queries`; every
 SQL-expressible operator has a DuckDB oracle with identical column
-aliases, and non-SQL operators (Drain mining/assignment, SimHash, ANN,
+aliases, and non-SQL operators (Drain mining/assignment, ANN,
 multimodal decode) are registered rows-only.
 """
 

@@ -5,7 +5,7 @@ extensions) gets a ``queries()`` entry and a matching ``oracle_sql()``
 string over the same parquet tables.  Aliases are kept identical on both
 sides — the driver hash-compares values after sorting columns by name.
 
-Non-SQL-expressible operators (the Drain mining itself, ANN, SimHash,
+Non-SQL-expressible operators (the Drain mining itself, ANN,
 multimodal decode) are registered without oracles → rows-only checks.
 """
 
@@ -29,6 +29,7 @@ from logparser_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_dedup,
+    simhash_sql,
 )
 from logparser_spark.operators.enrich import enrich
 from logparser_spark.operators.mine import mine_templates
@@ -407,6 +408,44 @@ SQL_JACCARD = (
 )
 
 
+def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale pipeline: MinHash → LSH candidates → candidates-
+    first exact-Jaccard verification (shingles semi-joined to candidate
+    docs BEFORE the quadratic self-join)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        docs, "doc_id", "text", N_MINHASHES, ROWS_PER_BAND, SHINGLE_N
+    )
+    return jaccard_pairs(docs, "doc_id", "text", 0.99, SHINGLE_N, candidates=cands)
+
+
+SQL_JACCARD_VERIFIED = (
+    "WITH docs AS (SELECT * FROM " + DOCS_WITH_DUPS_SQL + "), "
+    "sh AS (SELECT doc_id, unnest(" + _shingles_sql("text") + ") AS shingle FROM docs), "
+    f"seeds AS (SELECT unnest(generate_series(0, {N_MINHASHES - 1})) AS seed), "
+    "sig AS (SELECT doc_id, seed, "
+    "min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash "
+    "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed), "
+    f"bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band, "
+    "md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key "
+    f"FROM sig GROUP BY doc_id, seed // {ROWS_PER_BAND}), "
+    "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key "
+    "HAVING count(*) <= 1000), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM (SELECT bands.* FROM bands JOIN ok USING (band, band_key)) a "
+    "JOIN (SELECT bands.* FROM bands JOIN ok USING (band, band_key)) b "
+    "USING (band, band_key) WHERE a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard "
+    "FROM pairs JOIN cand USING (id_a, id_b) "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.99"
+)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.lang_id_expr("text").alias("lang_pred"))
@@ -704,6 +743,11 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
 
+SQL_SIMHASH = simhash_sql(
+    f"SELECT * FROM {DOCS_WITH_DUPS_SQL}", "doc_id", _shingles_sql("text")
+)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter("vec_id < 5"), n_planes=4, n_tables=4, k=5)
@@ -733,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_verified": q_jaccard_verified,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -747,12 +792,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "json_extract": q_json_extract,
     "cube_counts": q_cube_counts,
+    "simhash_candidates": q_simhash_candidates,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "spell_template_table": q_spell_template_table,
-    "simhash_candidates": q_simhash_candidates,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -772,6 +817,8 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH,
     "lsh_candidates": SQL_LSH_CANDS,
     "jaccard_pairs": SQL_JACCARD,
+    "jaccard_verified": SQL_JACCARD_VERIFIED,
+    "simhash_candidates": SQL_SIMHASH,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

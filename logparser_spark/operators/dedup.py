@@ -137,9 +137,37 @@ def jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for all (or candidate) pairs ≥ threshold."""
+    """Exact shingle-set Jaccard for all (or candidate) pairs ≥ threshold.
+
+    Scale ordering matters: when ``candidates`` is given, the shingle
+    relation is semi-joined down to candidate docs BEFORE the quadratic
+    shingle self-join (not after the pair aggregation) — at web scale the
+    candidate set is tiny relative to the corpus, so the self-join only
+    ever sees candidate docs.  ``max_shingle_df`` additionally drops
+    shingles appearing in more than that many docs from BOTH the
+    intersection and the set sizes (ultra-common shingles carry no
+    dedup signal but drive the self-join quadratic); with it set the
+    result is Jaccard over the capped shingle space, a documented
+    approximation.  Default (None) preserves exact semantics.
+    """
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, id_col, "left_semi")
+    if max_shingle_df is not None:
+        ok_sh = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct(id_col).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(ok_sh, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -150,7 +178,9 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if candidates is not None:
-        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+        # restrict to exactly the candidate *pairs* (the id-level semi-join
+        # above also admits cross pairs between unrelated candidates)
+        pairs = pairs.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -170,53 +200,151 @@ def jaccard_pairs(
 # -- simhash -----------------------------------------------------------------
 
 
-def simhash_expr(text_col: Column | str, bits: int = 32) -> Column:
-    """SimHash over unigram tokens using md5-derived per-token bit
-    patterns: bit j of the fingerprint is 1 iff the majority of tokens
-    have bit j set in md5(token).  Pure native expressions."""
-    toks = F.array_distinct(tokens_expr(text_col))
-    # per token: 32-bit int from first 8 md5 hex chars
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    n = F.size(toks)
-    bit_cols = []
-    for j in range(bits):
-        cnt = F.aggregate(
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48, shingle_n: int = 3
+) -> DataFrame:
+    """(id, simhash): SimHash over word n-gram shingles.
+
+    Bit j of the fingerprint is 1 iff the majority of the doc's distinct
+    shingles have bit j set in the first ``bits`` bits of md5(shingle).
+    Shingles (not unigrams): over corpora with a shared vocabulary,
+    unigram majorities converge to the corpus-wide majority and every
+    fingerprint collides (observed: ~47 % of all pairs at sf0.01 in r1).
+    n-gram shingles are near-unique per doc, so unrelated fingerprints
+    are independent and band collisions are rare.
+
+    Plan shape: md5 is computed ONCE per shingle; all ``bits`` bit-counts
+    accumulate in a single array-typed ``aggregate`` pass, then the
+    fingerprint is assembled from the materialized count array in a second
+    projection (keeps the md5 work out of the per-bit expressions).
+    Pure native expressions, engine-portable (md5-based).
+    """
+    hex_chars = (bits + 3) // 4
+    toks = shingles_expr(text_col, shingle_n)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long")
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.aggregate(
             hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
-        )
-        bit_cols.append(
-            F.when(cnt * 2 >= n, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
-
-
-def simhash_dedup(df: DataFrame, id_col: str, text_col: str, bits: int = 32,
-                  band_bits: int = 8) -> DataFrame:
-    """Candidate near-dup pairs: equal simhash bands (bits split into
-    bits/band_bits bands; hamming-near docs share ≥1 band)."""
-    with_sh = df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
-    bands = []
-    for b in range(bits // band_bits):
-        mask = ((1 << band_bits) - 1) << (b * band_bits)
-        bands.append(
-            with_sh.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.col("simhash").bitwiseAND(F.lit(mask)).alias("band_val"),
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[F.shiftright(h, j).bitwiseAND(F.lit(1)) for j in range(bits)]),
+                lambda a, b: a + b,
+            ),
+        ).alias("_cnt"),
+    )
+    fp: Column | None = None
+    for j in range(bits):
+        term = (
+            F.when(
+                F.element_at(F.col("_cnt"), j + 1) * 2 >= F.col("_n"),
+                F.lit(1 << j).cast("long"),
             )
+            .otherwise(F.lit(0).cast("long"))
         )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    a = allb.select(F.col(id_col).alias("id_a"), "band", "band_val")
-    b2 = allb.select(F.col(id_col).alias("id_b"), "band", "band_val")
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return staged.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    band_bits: int = 12,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming): equal simhash band → candidate,
+    then verified by full-fingerprint hamming distance ≤ ``max_hamming``.
+
+    Bands over-sized buckets (> ``max_bucket_size``, degenerate boilerplate)
+    are dropped explicitly — same skew guard as :func:`lsh_candidate_pairs`;
+    the hamming verification then kills the accidental single-band
+    collisions that banding admits.  bits/band_bits bands; any pair within
+    hamming distance bits/band_bits - 1 is guaranteed to share a band
+    (pigeonhole), so recall is exact for hamming ≤ 3 at 48/12.
+    """
+    sh = simhash_df(df, id_col, text_col, bits, shingle_n)
+    mask = (1 << band_bits) - 1
+    n_bands = bits // band_bits
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    ok_buckets = (
+        banded.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket_size)
+        .select("band", "band_val")
+    )
+    banded = banded.join(ok_buckets, ["band", "band_val"], "left_semi")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a"), "band", "band_val")
+    b2 = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b"), "band", "band_val")
     return (
         a.join(b2, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def simhash_sql(
+    docs_sql: str,
+    id_col: str,
+    shingles_sql: str,
+    bits: int = 48,
+    band_bits: int = 12,
+    max_bucket_size: int = 1000,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB-SQL twin of :func:`simhash_dedup`.
+
+    ``docs_sql`` is a SELECT producing the doc table; ``shingles_sql`` is
+    the expression producing the shingle array over its ``text`` column.
+    Bit j of conv(substr(md5, 1, H), 16, 10) lives in hex char H - j//4
+    (1-indexed), bit j%4 within the char — extracted with strpos
+    arithmetic so no engine-specific hex-parse is needed.
+    """
+    hex_chars = (bits + 3) // 4
+    mask = (1 << band_bits) - 1
+    n_bands = bits // band_bits
+    bit_sums = ", ".join(
+        f"sum(((strpos('0123456789abcdef', substr(m, {hex_chars - j // 4}, 1)) - 1) "
+        f"// {1 << (j % 4)}) % 2) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} * 2 >= n THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH docs AS ({docs_sql}),
+sh AS (SELECT {id_col} AS did, unnest({shingles_sql}) AS s FROM docs),
+hx AS (SELECT did, md5(s) AS m FROM sh),
+bits AS (SELECT did, count(*) AS n, {bit_sums} FROM hx GROUP BY did),
+fp AS (SELECT did, CAST({fp} AS BIGINT) AS simhash FROM bits),
+bands AS (SELECT did, simhash, band, (simhash >> (band * {band_bits})) & {mask} AS band_val
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) g),
+ok AS (SELECT band, band_val FROM bands GROUP BY band, band_val
+       HAVING count(*) <= {max_bucket_size}),
+bo AS (SELECT bands.* FROM bands JOIN ok USING (band, band_val))
+SELECT DISTINCT a.did AS id_a, b.did AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bo a JOIN bo b USING (band, band_val)
+WHERE a.did < b.did AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -71,9 +71,58 @@ def test_lsh_finds_exact_dups_and_jaccard_verifies(spark, docs_with_dups):
 
 def test_simhash_collides_identical_docs(spark, docs_with_dups):
     pairs = simhash_dedup(docs_with_dups.filter("doc_id < 20 OR doc_id >= 1000000"),
-                          "doc_id", "text")
-    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+                          "doc_id", "text").cache()
+    rows = pairs.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
     assert {(i, i + 1_000_000) for i in range(20)} <= got
+    # exact copies have identical fingerprints
+    assert all(r["hamming"] == 0 for r in rows if r["id_b"] - r["id_a"] == 1_000_000)
+
+
+def test_simhash_not_degenerate(spark, docs_with_dups):
+    """r1 regression: unigram simhash emitted ~47 % of all pairs. With
+    shingle fingerprints + hamming verification the pair count must be a
+    tiny fraction of all-pairs."""
+    n = docs_with_dups.count()
+    pairs = simhash_dedup(docs_with_dups, "doc_id", "text").count()
+    assert pairs < 0.02 * n * (n - 1) / 2
+
+
+def test_simhash_bucket_guard_drops_hot_buckets(spark, docs_with_dups):
+    # a max_bucket_size of 1 kills every bucket with >1 doc → no pairs
+    assert (
+        simhash_dedup(docs_with_dups, "doc_id", "text", max_bucket_size=1).count() == 0
+    )
+
+
+def test_jaccard_candidates_filter_before_self_join(spark, docs_with_dups):
+    """Scale invariant: with candidates given, the shingle self-join must
+    sit ABOVE the candidate semi-join in the plan (quadratic work bounded
+    by candidate docs, not the corpus)."""
+    cands = lsh_candidate_pairs(docs_with_dups, "doc_id", "text")
+    j = jaccard_pairs(docs_with_dups, "doc_id", "text", 0.99, candidates=cands)
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    pair_agg = plan.find("Aggregate [id_a")
+    assert pair_agg != -1 and "LeftSemi" in plan
+    # plan text prints root-first, so "deeper in text" = "executed earlier":
+    # the doc-level semi-join must appear BELOW the pair aggregation
+    assert plan.rfind("LeftSemi") > pair_agg
+    got = {(r["id_a"], r["id_b"]) for r in j.collect()}
+    assert {(i, i + 1_000_000) for i in range(20)} <= got
+
+
+def test_jaccard_shingle_df_cap_drops_boilerplate(spark):
+    rows = [(i, "common boilerplate prefix shared by every doc " + w)
+            for i, w in enumerate(["alpha beta gamma", "delta epsilon zeta",
+                                   "eta theta iota", "kappa lambda mu"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_pairs(df, "doc_id", "text", threshold=0.3)
+    capped = jaccard_pairs(df, "doc_id", "text", threshold=0.3, max_shingle_df=2)
+    # every pair shares the long boilerplate prefix → high uncapped jaccard
+    assert uncapped.count() == 6
+    # with shared shingles (df=4) dropped, only doc-unique shingles remain
+    # → no intersections at all
+    assert capped.count() == 0
 
 
 def test_cosine_topk_matches_numpy(spark, emb):
