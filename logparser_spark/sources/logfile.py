@@ -48,9 +48,16 @@ def read_log_file(
 ) -> DataFrame:
     """Read a raw log file into (LineId, headers..., Content, _corrupt).
 
-    ``LineId`` is 1-based in file order (the reference's scheme).  The
-    global ``row_number`` sort is test-scale convenience; at scale keep
-    the monotonic id (dense ids force a single-partition sort).
+    ``LineId`` is 1-based in file order (the reference's scheme,
+    ``log_to_dataframe`` ≈L303–323), built scale-safely: a per-partition
+    ``row_number`` (parallel — windows are partitioned by the input split)
+    plus a broadcast-joined cumulative partition offset.  The only
+    single-partition work is the running sum over the n_partitions-row
+    counts relation (KB-sized at any file size); the full data is never
+    globally sorted.  File splits are generated in byte-offset order, so
+    ``spark_partition_id`` is monotone in file position and the dense id
+    equals the file line number.  Cost: two scans of the file (counts +
+    data), the standard dense-global-id construction.
     """
     headers, rx = compile_log_format(log_format)
     df = spark.read.text(path)
@@ -58,12 +65,26 @@ def read_log_file(
         F.regexp_extract("value", rx, i + 1).alias(h) for i, h in enumerate(headers)
     ]
     out = df.select(
-        F.monotonically_increasing_id().alias("_file_order"),
+        F.spark_partition_id().alias("_part"),
+        F.monotonically_increasing_id().alias("_mid"),
         *cols,
         (~F.col("value").rlike(rx)).alias("_corrupt"),
         F.col("value").alias("_raw"),
     )
     if with_line_id:
-        w = Window.orderBy("_file_order")
-        out = out.withColumn("LineId", F.row_number().over(w))
-    return out.drop("_file_order")
+        counts = out.groupBy("_part").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = (
+            Window.orderBy("_part")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "_part",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+        )
+        w_in = Window.partitionBy("_part").orderBy("_mid")
+        out = (
+            out.join(F.broadcast(offsets), "_part")
+            .withColumn("LineId", (F.col("_offset") + F.row_number().over(w_in)).cast("long"))
+            .drop("_offset")
+        )
+    return out.drop("_part", "_mid")

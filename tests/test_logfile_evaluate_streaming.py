@@ -54,6 +54,39 @@ def test_read_log_file(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_line_id_scale_safe_across_splits(spark):
+    """LineId must equal the 1-based file line number with the input split
+    into many partitions, and the plan must not single-partition-sort the
+    data (r1 finding: global row_number window)."""
+    d = tempfile.mkdtemp()
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        path = os.path.join(d, "big.log")
+        n = 5000
+        with open(path, "w") as f:
+            for i in range(1, n + 1):
+                f.write(f"081109 203518 {i} INFO dfs.Comp: line number {i} payload\n")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        # the input scan really is split (the output partitioning is
+        # AQE-coalesced and says nothing about the scan)
+        assert spark.read.text(path).rdd.getNumPartitions() > 4
+        df = read_log_file(spark, path, LOG_FORMAT)
+        rows = df.select("LineId", "Pid").collect()
+        assert len(rows) == n
+        assert all(int(r["Pid"]) == r["LineId"] for r in rows)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the row_number window is partitioned by the input split — the
+        # only SinglePartition exchange allowed is over the KB-sized
+        # per-partition counts relation (below the broadcast offsets join)
+        import re as _re
+
+        for wline in [ln for ln in plan.splitlines() if "row_number()" in ln]:
+            assert "windowspecdefinition(_part" in wline, wline
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_grouping_accuracy_perfect_and_known(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")], "gt string, pred string"
