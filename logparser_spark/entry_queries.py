@@ -739,6 +739,20 @@ def q_spell_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iplom_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the IPLoM (iterative partitioning)
+    strategy — rows-only."""
+    clusters = mine_templates(_transcripts(spark, sf_dir), CFG, strategy="iplom")
+    return spark.createDataFrame(
+        [(c.template, int(c.count)) for c in clusters],
+        "template string, occurrences long",
+    ).select(
+        F.substring(F.md5("template"), 1, 8).alias("event_id"),
+        "template",
+        "occurrences",
+    )
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
@@ -798,6 +812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drain_assignments": q_drain_assignments,
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "spell_template_table": q_spell_template_table,
+    "iplom_template_table": q_iplom_template_table,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
 }

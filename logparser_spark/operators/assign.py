@@ -194,6 +194,57 @@ class _SpellMatcher(_BaseMatcher):
         return out
 
 
+class _IPLoMMatcher(_BaseMatcher):
+    """Read-only matcher over a fixed IPLoM template set.
+
+    IPLoM templates are fixed-length with ``<*>`` at non-constant
+    positions; a text belongs to a leaf iff it agrees with the template on
+    every constant position.  When several same-length templates are
+    compatible, the most specific (most constants) wins; full ties fall to
+    the lexicographically-smallest template (templates arrive sorted from
+    ``assign_templates``).  Vectorized like :class:`_Matcher`: rows group
+    by token count and compare against each candidate with one numpy
+    broadcast.
+    """
+
+    def __init__(self, templates: list[str], with_params: bool):
+        super().__init__(templates, with_params)
+        self.by_len: dict[int, list[tuple]] = {}
+        for t in templates:  # sorted order preserved for tie-breaks
+            toks = np.array(t.split(" ") if t else [""], dtype=object)
+            wild = toks == "<*>"
+            self.by_len.setdefault(len(toks), []).append(
+                (toks, wild, int((~wild).sum()), t)
+            )
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        tok_lists = [u.split() or [""] for u in uniques]
+        groups: dict[int, list[int]] = {}
+        for i, toks in enumerate(tok_lists):
+            groups.setdefault(len(toks), []).append(i)
+        results: list[tuple[str, str, bool] | None] = [None] * len(uniques)
+        for length, idxs in groups.items():
+            cands = self.by_len.get(length, [])
+            mat = np.array([tok_lists[i] for i in idxs], dtype=object)
+            n = len(idxs)
+            best_score = np.full(n, -1)
+            best_tpl: list[str | None] = [None] * n
+            for toks, wild, n_const, tpl in cands:
+                ok = ((mat == toks) | wild).all(axis=1)
+                upd = ok & (n_const > best_score)
+                for pos in np.flatnonzero(upd):
+                    best_tpl[pos] = tpl
+                best_score[upd] = n_const
+            for pos, i in enumerate(idxs):
+                tpl = best_tpl[pos]
+                if tpl is not None:
+                    results[i] = (tpl, event_id_of(tpl), True)
+                else:
+                    t = uniques[i]
+                    results[i] = (t, event_id_of(t), t in self.template_set)
+        return results  # type: ignore[return-value]
+
+
 # worker-global cache: one matcher per (templates identity, params) per worker
 _MATCHER_CACHE: dict[tuple, _BaseMatcher] = {}
 
@@ -238,7 +289,8 @@ def assign_templates(
     a struct — passthrough columns never cross the JVM↔Python boundary,
     so Arrow traffic is just the two string columns in and the assignment
     struct out. ``strategy`` selects the matching engine: ``drain``
-    (fixed-depth tree) or ``spell`` (LCS).
+    (fixed-depth tree), ``spell`` (LCS), or ``iplom`` (constant-position
+    compatibility, most-specific wins).
     """
     params = params or DrainParams()
     if "masked" not in df.columns:
@@ -257,6 +309,8 @@ def assign_templates(
         if matcher is None:
             if strategy == "spell":
                 matcher = _SpellMatcher(bc.value, tau, wp)
+            elif strategy == "iplom":
+                matcher = _IPLoMMatcher(bc.value, wp)
             else:
                 matcher = _Matcher(bc.value, params, wp)
             if len(_MATCHER_CACHE) > 8:

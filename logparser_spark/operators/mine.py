@@ -44,12 +44,6 @@ def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if strategy == "spell":
-            from logparser_spark.spell import SpellMap, SpellParams
-
-            tree = SpellMap(SpellParams(tau))
-        else:
-            tree = DrainTree(params)
         # dedup across the whole partition, preserving first-seen order;
         # per-batch factorize + bincount is vectorized (no per-row Python)
         seen: dict[str, int] = {}
@@ -63,6 +57,24 @@ def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0
                 else:
                     seen[text] = int(cnt)
                     order.append(text)
+        if strategy == "iplom":
+            # batch algorithm: fit over the weighted unique-text set
+            from logparser_spark.iplom import iplom_fit
+
+            clusters = iplom_fit(seen).clusters
+            yield pd.DataFrame(
+                {
+                    "template": [c.template for c in clusters],
+                    "count": [c.count for c in clusters],
+                }
+            )
+            return
+        if strategy == "spell":
+            from logparser_spark.spell import SpellMap, SpellParams
+
+            tree = SpellMap(SpellParams(tau))
+        else:
+            tree = DrainTree(params)
         for text in order:
             cluster = tree.add_message(text.split())
             cluster.count += seen[text] - 1
@@ -110,4 +122,8 @@ def mine_templates(
         from logparser_spark.spell import SpellParams, merge_spell_sets
 
         return merge_spell_sets(pairs, SpellParams(tau))
+    if strategy == "iplom":
+        from logparser_spark.iplom import merge_iplom_sets
+
+        return merge_iplom_sets(pairs)
     return merge_template_sets(pairs, params)
