@@ -94,13 +94,17 @@ def mine_templates(
     sample_one_in: int = 1,
     strategy: str = "drain",
     tau: float = 0.5,
+    partition_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> list:
     """Mine the global template set from a (already masked or raw) frame.
 
     ``sample_one_in > 1`` mines on a deterministic md5-bucket sample of
-    conversations (whole conversations, so per-conv ordering is preserved)
-    — the scale path for 100 TB inputs where the template universe
-    saturates long before the data does.
+    ``partition_col`` groups (whole groups, so per-group ordering is
+    preserved) — the scale path for 100 TB inputs where the template
+    universe saturates long before the data does.  ``partition_col`` /
+    ``order_cols`` default to the transcripts keys; log-file inputs use
+    ``("LineId",)``.
     """
     cfg = cfg or PipelineConfig()
     params = cfg.drain
@@ -108,11 +112,12 @@ def mine_templates(
         df = with_masked(df, params)
     src = df
     if sample_one_in > 1:
-        src = src.filter(bucket_expr("conv_id", sample_one_in) == 0)
+        src = src.filter(bucket_expr(partition_col, sample_one_in) == 0)
+    cols = list(dict.fromkeys([*order_cols, "masked"]))
     part = (
-        src.select("conv_id", "turn_idx", "masked")
-        .repartition(cfg.num_partitions, F.col("conv_id"))
-        .sortWithinPartitions("conv_id", "turn_idx")
+        src.select(*cols)
+        .repartition(cfg.num_partitions, F.col(partition_col))
+        .sortWithinPartitions(*order_cols)
     )
     rows = part.mapInPandas(
         _mine_partition(params, strategy, tau), "template string, count long"
