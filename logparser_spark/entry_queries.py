@@ -35,7 +35,12 @@ from logparser_spark.operators.enrich import enrich
 from logparser_spark.operators.mine import mine_templates
 from logparser_spark.operators.multimodal import decode_media, media_from_documents
 from logparser_spark.operators.route import with_sink_id
-from logparser_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from logparser_spark.operators.similarity import (
+    ann_corpus_neighbors,
+    ann_corpus_neighbors_sql,
+    ann_lsh_topk,
+    cosine_topk,
+)
 from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
 from logparser_spark.sources.transcripts import transcripts_df
 
@@ -767,6 +772,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, emb.filter("vec_id < 5"), n_planes=4, n_tables=4, k=5)
 
 
+ANN_CORPUS_KW = dict(n_planes=8, n_tables=2, k=3)
+
+
+def q_ann_corpus_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus ANN: every vector is a query; nothing broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_corpus_neighbors(emb, **ANN_CORPUS_KW).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_ANN_CORPUS = ann_corpus_neighbors_sql(**ANN_CORPUS_KW)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return decode_media(media_from_documents(docs)).select(
@@ -807,6 +826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "cube_counts": q_cube_counts,
     "simhash_candidates": q_simhash_candidates,
+    "ann_corpus_neighbors": q_ann_corpus_neighbors,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -834,6 +854,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD,
     "jaccard_verified": SQL_JACCARD_VERIFIED,
     "simhash_candidates": SQL_SIMHASH,
+    "ann_corpus_neighbors": SQL_ANN_CORPUS,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

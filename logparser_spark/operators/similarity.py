@@ -102,6 +102,144 @@ def random_hyperplane_buckets(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def _table_bucket_expr(
+    vec: Column, dim: int, n_planes: int, seed: str
+) -> Column:
+    planes = hyperplane_signs(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p, signs in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(s)) for s in signs])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit.cast("long"))
+    return bucket
+
+
+def ann_corpus_neighbors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    k: int = 5,
+    seed: str = "lsh",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """All-corpus approximate top-k neighbors — the dedup-scale path where
+    the query side IS the corpus and nothing is broadcast.
+
+    Shape: every vector gets all ``n_tables`` bucket ids in ONE projection
+    (posexplode of the bucket array — one scan, not one per table), the
+    candidate pairs come from a shuffle equi-join on (table, bucket) with
+    the same ``max_bucket_size`` skew guard as the dedup LSH join, pair
+    dedup happens on narrow (query_id, neighbor_id) rows BEFORE the
+    64-float vectors are joined back for scoring, and top-k is a window
+    per query.  No cross join, no broadcast, no all-pairs: candidates ≈
+    |corpus|·L·E[bucket size]/2.
+
+    Output schema matches :func:`cosine_topk` (query_id, neighbor_id,
+    sim, rank); every corpus vector appears as a query (vectors whose
+    buckets were all over-size or singleton simply have no rows).
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    buckets = [
+        _table_bucket_expr(F.col("_vec"), dim, n_planes, f"{seed}:{t}")
+        for t in range(n_tables)
+    ]
+    bk = c.select("_id", F.posexplode(F.array(*buckets)).alias("tbl", "bucket"))
+    ok = (
+        bk.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket_size)
+        .select("tbl", "bucket")
+    )
+    bk = bk.join(ok, ["tbl", "bucket"], "left_semi")
+    a = bk.select(F.col("_id").alias("query_id"), "tbl", "bucket")
+    b = bk.select(F.col("_id").alias("neighbor_id"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = c.select(F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"))
+    nv = c.select(F.col("_id").alias("neighbor_id"), F.col("_vec").alias("c_vec"))
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("sim", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _sql_dot(a: str, b_literal_or_col: str, dim: int) -> str:
+    """Ordered double-precision dot in DuckDB, matching Spark's
+    ``zip_with`` + in-order fold exactly (``list_dot_product`` computes in
+    the list's own float32 and diverges — same reason as ``SQL_KNN``)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST(({b_literal_or_col})[i] AS DOUBLE)))"
+    )
+
+
+def ann_corpus_neighbors_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    k: int = 5,
+    seed: str = "lsh",
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB-SQL twin of :func:`ann_corpus_neighbors`.  The md5-derived
+    hyperplanes are inlined as float literals (computed here, so both
+    engines hash with the identical matrix).  ``sim`` is used for ranking
+    but excluded from the checked output (float-representation parity —
+    the ``SQL_KNN`` precedent); the ranks themselves are deterministic."""
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplane_signs(dim, n_planes, f"{seed}:{t}")
+        bits = " + ".join(
+            f"(CASE WHEN {_sql_dot(vec_col, str([float(s) for s in signs]), dim)}"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, signs in enumerate(planes)
+        )
+        per_table.append(
+            f"SELECT {id_col} AS vid, {t} AS tbl, ({bits}) AS bucket FROM {table}"
+        )
+    bk_sql = " UNION ALL ".join(per_table)
+    dot = _sql_dot(f"q.{vec_col}", f"n.{vec_col}", dim)
+    norm_q = f"sqrt({_sql_dot(f'q.{vec_col}', f'q.{vec_col}', dim)})"
+    norm_n = f"sqrt({_sql_dot(f'n.{vec_col}', f'n.{vec_col}', dim)})"
+    return f"""
+WITH bk AS ({bk_sql}),
+ok AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket
+       HAVING count(*) <= {max_bucket_size}),
+bo AS (SELECT bk.* FROM bk JOIN ok USING (tbl, bucket)),
+pairs AS (SELECT DISTINCT a.vid AS query_id, b.vid AS neighbor_id
+          FROM bo a JOIN bo b USING (tbl, bucket) WHERE a.vid <> b.vid),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, {dot} / ({norm_q} * {norm_n}) AS sim
+  FROM pairs p
+  JOIN {table} q ON q.{id_col} = p.query_id
+  JOIN {table} n ON n.{id_col} = p.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,7 +13,11 @@ from logparser_spark.operators.dedup import (
     minhash_signatures,
     simhash_dedup,
 )
-from logparser_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from logparser_spark.operators.similarity import (
+    ann_corpus_neighbors,
+    ann_lsh_topk,
+    cosine_topk,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -139,6 +143,27 @@ def test_cosine_topk_matches_numpy(spark, emb):
         want = [i for _, i in order]
         have = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
         assert have == want
+
+
+def test_ann_corpus_neighbors_recall_and_no_cartesian(spark, emb):
+    """Corpus-vs-corpus ANN: every vector is a query, nothing broadcast by
+    construction, no cross join anywhere in the plan; recall vs the exact
+    all-pairs baseline on the full 500-vector corpus."""
+    approx = ann_corpus_neighbors(emb, n_planes=4, n_tables=8, k=3)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    approx_pdf = approx.toPandas()
+    exact = cosine_topk(emb, emb, k=3).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx_pdf[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # measured 0.70 at (4 planes, 8 tables) on the 500-vector fixture;
+    # deterministic given the md5 hyperplanes, bound left slack-proof
+    assert recall >= 0.5
+    # a bucket-mate's rank-1 result is its true nearest same-bucket vector:
+    # ranks are dense and start at 1 per query
+    r1 = approx_pdf.groupby("query_id")["rank"].min()
+    assert (r1 == 1).all()
 
 
 def test_ann_lsh_recall_against_exact(spark, emb):
