@@ -103,7 +103,8 @@ def _warmup(spark, parts: int) -> float:
     return round(time.time() - t0, 3)
 
 
-def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0) -> dict:
+def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
+              pipeline_only: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from logparser_spark.config import PipelineConfig
@@ -182,10 +183,11 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0) -> dict:
     throughput = n_turns / pipeline_sec if pipeline_sec > 0 else 0.0
 
     # other heavy operators at the SF tables
-    timed("token_frequency", lambda: _noop_write(q_token_frequency(spark, sf_dir)), 2)
-    timed("windowed_counts", lambda: _noop_write(q_windowed_counts(spark, sf_dir)), 2)
-    timed("minhash_lsh", lambda: _noop_write(q_lsh_candidates(spark, sf_dir)), 2)
-    timed("knn_bruteforce", lambda: _noop_write(q_knn_bruteforce(spark, sf_dir)), 2)
+    if not pipeline_only:
+        timed("token_frequency", lambda: _noop_write(q_token_frequency(spark, sf_dir)), 2)
+        timed("windowed_counts", lambda: _noop_write(q_windowed_counts(spark, sf_dir)), 2)
+        timed("minhash_lsh", lambda: _noop_write(q_lsh_candidates(spark, sf_dir)), 2)
+        timed("knn_bruteforce", lambda: _noop_write(q_knn_bruteforce(spark, sf_dir)), 2)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -239,14 +241,70 @@ def run_scaling(sf_dir: str, n_small: int = 4, n_big: int = 16,
     }
 
 
+def run_interference(sf_dir: str, cpus: int = 4, n_legs: int = 4,
+                     n_turns: int = 8_000_000) -> dict:
+    """Measure the single-box shared-resource floor directly.
+
+    ``n_legs`` *independent* local[cpus] pipelines run concurrently on
+    disjoint inputs — the exact thread/memory footprint of one
+    local[cpus*n_legs] run, but with ZERO Spark-level coordination
+    between them.  Any per-leg slowdown vs a solo local[cpus] run is
+    therefore pure host contention (one DRAM/page-cache domain carrying
+    every leg's shuffle, Arrow pipes and sink writes), not engine
+    serialization.  ``host_floor_efficiency`` = aggregate concurrent
+    throughput / (n_legs × solo throughput): the ceiling ANY engine can
+    reach at n_legs× parallelism on this box.  The engine-attributable
+    efficiency of a local[cpus*n_legs] run is measured_eff / floor.
+    """
+    leg_cmd = [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
+               "--turns", str(n_turns), "--pipeline-only"]
+    env = dict(os.environ, SPARK_DRIVER_MEM="20g")
+
+    def parse(stdout: str) -> dict:
+        return json.loads(
+            [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+        )
+
+    solo = parse(subprocess.run(
+        leg_cmd, capture_output=True, text=True, cwd=REPO, env=env
+    ).stdout)
+    procs = [
+        subprocess.Popen(leg_cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, cwd=REPO, env=env)
+        for _ in range(n_legs)
+    ]
+    legs = [parse(p.communicate()[0]) for p in procs]
+    t_solo = solo["throughput_turns_per_sec"]
+    t_legs = [leg["throughput_turns_per_sec"] for leg in legs]
+    floor = sum(t_legs) / (n_legs * t_solo) if t_solo else 0.0
+    return {
+        "metric": "host_floor_efficiency",
+        "value": round(floor, 3),
+        "unit": "ratio",
+        "cpus_per_leg": cpus,
+        "n_legs": n_legs,
+        "n_turns_per_leg": n_turns,
+        "solo_throughput": t_solo,
+        "concurrent_throughputs": t_legs,
+        "solo_stage_sec": solo["queries"],
+        "concurrent_stage_sec": [leg["queries"] for leg in legs],
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--interference", action="store_true")
     ap.add_argument("--turns", type=int, default=0)
+    ap.add_argument("--pipeline-only", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, n_turns=args.turns or 4_000_000)))
+    elif args.interference:
+        print(json.dumps(run_interference(
+            args.sf_dir, n_turns=args.turns or 8_000_000)))
     else:
-        print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns)))
+        print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns,
+                                   args.pipeline_only)))
