@@ -55,15 +55,31 @@ def _local_dirs() -> str:
         return tempfile.gettempdir()
 
 
-def build_spark(cpus: int):
+def build_spark(cpus: int, executors: int = 0):
+    """``executors == 0`` → single-JVM ``local[cpus]``.
+
+    ``executors > 0`` → ``local-cluster[executors, cpus, mem]``: real
+    executor JVMs + netty shuffle on one box — the cluster-shaped
+    deployment (several small executors per node, the standard sizing
+    precisely because single-JVM scaling degrades with core count: GC
+    and memory-manager contention grow superlinearly; measured in
+    BENCH/BASELINE.md).
+    """
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "16384"))
+    total = cpus * executors if executors else cpus
+    master = (
+        f"local-cluster[{executors},{cpus},{exec_mem_mb}]"
+        if executors
+        else f"local[{cpus}]"
+    )
+    b = (
+        SparkSession.builder.master(master)
         .config("spark.local.dir", _local_dirs())
         .appName("logparser_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
-        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(max(total * 2, 8)))
+        .config("spark.default.parallelism", str(total))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
@@ -72,8 +88,14 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.task.cpus", os.environ.get("SPARK_TASK_CPUS", "1"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if executors:
+        b = (
+            b.config("spark.executor.memory", f"{exec_mem_mb - 2048}m")
+            .config("spark.executorEnv.PYTHONPATH", REPO)
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        )
+    return b.getOrCreate()
 
 
 def _noop_write(df) -> None:
@@ -104,7 +126,7 @@ def _warmup(spark, parts: int) -> float:
 
 
 def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
-              pipeline_only: bool = False) -> dict:
+              pipeline_only: bool = False, executors: int = 0) -> dict:
     from pyspark.sql import functions as F
 
     from logparser_spark.config import PipelineConfig
@@ -122,11 +144,21 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
     from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
     from logparser_spark.sources.transcripts import transcripts_df
 
-    spark = build_spark(cpus)
+    requested_cpus = cpus
+    # A PySpark task slot occupies ~2 hot threads (JVM task + Python
+    # worker), so slots are capped at half the physical cores: measured
+    # local[16] beats local[32] on every stage on this 32-core box
+    # (12.9 s vs 16.6 s total at sf0.1 — BENCH/BASELINE.md).
+    half_cores = max((os.cpu_count() or 2) // 2, 1)
+    if not executors and cpus > half_cores:
+        cpus = half_cores
+    spark = build_spark(cpus, executors)
     spark.sparkContext.setLogLevel("ERROR")
     sf = _sf_of(sf_dir)
     n_turns = n_turns_override or _n_turns(sf)
-    cfg = PipelineConfig(num_partitions=max(cpus * 2, 8))
+    total_cores = cpus * executors if executors else cpus
+    parts = int(os.environ.get("SPARK_GRAFT_PARTS", "0")) or max(total_cores * 2, 8)
+    cfg = PipelineConfig(num_partitions=parts)
 
     timings: dict[str, float] = {}
 
@@ -198,6 +230,9 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
         "sf": sf,
         "n_turns": n_turns,
         "cpus": cpus,
+        "requested_cpus": requested_cpus,
+        "executors": executors,
+        "total_cores": total_cores,
         "pipeline_sec": round(pipeline_sec, 3),
         "throughput_turns_per_sec": round(throughput, 1),
         "warmup_sec": warmup_sec,
@@ -207,29 +242,44 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
 
 
 def run_scaling(sf_dir: str, n_small: int = 4, n_big: int = 16,
-                n_turns: int = 4_000_000) -> dict:
+                n_turns: int = 4_000_000, cluster: bool = False) -> dict:
     """Same job at two parallelism levels → throughput + efficiency.
 
-    Defaults to local[4] vs local[16] (N vs 4N cores): every PySpark task
-    slot occupies ~2 hot threads (JVM task + Python worker), so 16+16
-    fills the 32-core box; local[32] would oversubscribe 2x and measure
-    the scheduler, not the engine.  n_turns is raised so compute
-    dominates fixed per-job overheads.
+    ``cluster=False``: single-JVM local[4] vs local[16] (N vs 4N cores in
+    one JVM; every PySpark task slot occupies ~2 hot threads, so 16+16
+    fills the 32-core box).  This is transparent but measures an
+    anti-pattern deployment — nobody runs 16-core executors, because
+    single-JVM efficiency degrades with core count (GC + memory-manager
+    contention; see BENCH/BASELINE.md's decomposition).
+
+    ``cluster=True``: the cluster-shaped measurement — the SAME job on
+    ``local-cluster[1,4]`` vs ``local-cluster[4,4]``: one vs four real
+    4-core executor JVMs with netty shuffle, i.e. exactly what adding
+    three workers to a one-worker cluster does, minus the NICs.
     """
     results = {}
-    for cpus in (n_small, n_big):
+    legs = (
+        [("small", ["--cpus", str(n_small)]), ("big", ["--cpus", str(n_big)])]
+        if not cluster
+        else [
+            ("small", ["--cpus", str(n_small), "--executors", "1"]),
+            ("big", ["--cpus", str(n_small), "--executors", str(n_big // n_small)]),
+        ]
+    )
+    for tag, leg_args in legs:
         proc = subprocess.run(
-            [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
-             "--turns", str(n_turns)],
+            [sys.executable, __file__, *leg_args, "--sf-dir", sf_dir,
+             "--turns", str(n_turns), "--pipeline-only"],
             capture_output=True, text=True, cwd=REPO,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t_small = results[n_small]["throughput_turns_per_sec"]
-    t_big = results[n_big]["throughput_turns_per_sec"]
+        results[tag] = json.loads(line)
+    t_small = results["small"]["throughput_turns_per_sec"]
+    t_big = results["big"]["throughput_turns_per_sec"]
     eff = (t_big / t_small) / (n_big / n_small)
     return {
-        "metric": "scaling_efficiency_Nx4N",
+        "metric": "scaling_efficiency_Nx4N"
+        + ("_cluster_shaped" if cluster else "_single_jvm"),
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
@@ -296,15 +346,18 @@ if __name__ == "__main__":
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cluster-scaling", action="store_true")
     ap.add_argument("--interference", action="store_true")
     ap.add_argument("--turns", type=int, default=0)
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--executors", type=int, default=0)
     args = ap.parse_args()
-    if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, n_turns=args.turns or 4_000_000)))
+    if args.scaling or args.cluster_scaling:
+        print(json.dumps(run_scaling(args.sf_dir, n_turns=args.turns or 4_000_000,
+                                     cluster=args.cluster_scaling)))
     elif args.interference:
         print(json.dumps(run_interference(
             args.sf_dir, n_turns=args.turns or 8_000_000)))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns,
-                                   args.pipeline_only)))
+                                   args.pipeline_only, args.executors)))

@@ -744,10 +744,8 @@ def q_spell_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_iplom_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Template table mined by the IPLoM (iterative partitioning)
-    strategy — rows-only."""
-    clusters = mine_templates(_transcripts(spark, sf_dir), CFG, strategy="iplom")
+def _template_table(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    clusters = mine_templates(_transcripts(spark, sf_dir), CFG, strategy=strategy)
     return spark.createDataFrame(
         [(c.template, int(c.count)) for c in clusters],
         "template string, occurrences long",
@@ -756,6 +754,24 @@ def q_iplom_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "template",
         "occurrences",
     )
+
+
+def q_iplom_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the IPLoM (iterative partitioning)
+    strategy — rows-only."""
+    return _template_table(spark, sf_dir, "iplom")
+
+
+def q_lenma_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the LenMa (word-length-vector) strategy —
+    rows-only."""
+    return _template_table(spark, sf_dir, "lenma")
+
+
+def q_ael_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the AEL (bin-and-reconcile) strategy —
+    rows-only."""
+    return _template_table(spark, sf_dir, "ael")
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,6 +849,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "spell_template_table": q_spell_template_table,
     "iplom_template_table": q_iplom_template_table,
+    "lenma_template_table": q_lenma_template_table,
+    "ael_template_table": q_ael_template_table,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
 }

@@ -222,11 +222,13 @@ def iplom_parse_sequential(texts, params: IPLoMParams | None = None):
 
 
 def merge_iplom_sets(template_sets, params: IPLoMParams | None = None) -> list[IPLoMCluster]:
-    """Canonical merge: re-fit the kernel over the union of per-partition
-    template sets (weighted by count).  ``<*>`` participates as an
-    ordinary token, so same-shape templates from different partitions
-    land in the same leaf and unify; the result is independent of
-    partition enumeration order (the fit is order-free)."""
+    """Global fit over the union of per-partition weighted text sets.
+
+    The distributed miner ships each partition's deduped (text, count)
+    pairs — not fitted templates — so this single fit IS the sequential
+    result (the kernel is a pure function of the weighted unique-text
+    set).  Also accepts template strings (``<*>`` participates as an
+    ordinary token), which re-fit canonically for merge-of-merges use."""
     flat: dict[str, int] = {}
     for ts in template_sets:
         for template, count in ts:

@@ -194,8 +194,36 @@ class _SpellMatcher(_BaseMatcher):
         return out
 
 
+class _LenMaMatcher(_BaseMatcher):
+    """Read-only length-vector matcher over a fixed LenMa template set
+    (memoized per unique text; cosine decision rule of
+    :mod:`logparser_spark.lenma`)."""
+
+    def __init__(self, templates: list[str], params, with_params: bool):
+        super().__init__(templates, with_params)
+        from logparser_spark.lenma import LenMaCluster, LenMaMap
+
+        self.lmap = LenMaMap(params)
+        for t in templates:
+            toks = t.split(" ") if t else [""]
+            self.lmap.clusters.append(
+                LenMaCluster(tokens=toks, lengths=[len(x) for x in toks])
+            )
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        out = []
+        for u in uniques:
+            hit = self.lmap.search(u.split() or [""])
+            if hit is not None:
+                out.append((hit.template, event_id_of(hit.template), True))
+            else:
+                out.append((u, event_id_of(u), u in self.template_set))
+        return out
+
+
 class _IPLoMMatcher(_BaseMatcher):
-    """Read-only matcher over a fixed IPLoM template set.
+    """Read-only matcher over a fixed IPLoM (or AEL — same fixed-length
+    wildcarded shape) template set.
 
     IPLoM templates are fixed-length with ``<*>`` at non-constant
     positions; a text belongs to a leaf iff it agrees with the template on
@@ -282,6 +310,7 @@ def assign_templates(
     with_params: bool = True,
     strategy: str = "drain",
     tau: float = 0.5,
+    strategy_params=None,
 ) -> DataFrame:
     """Attach ``masked, template, event_id, parameters, matched`` columns.
 
@@ -289,8 +318,9 @@ def assign_templates(
     a struct — passthrough columns never cross the JVM↔Python boundary,
     so Arrow traffic is just the two string columns in and the assignment
     struct out. ``strategy`` selects the matching engine: ``drain``
-    (fixed-depth tree), ``spell`` (LCS), or ``iplom`` (constant-position
-    compatibility, most-specific wins).
+    (fixed-depth tree), ``spell`` (LCS), ``lenma`` (length-vector
+    cosine), or ``iplom``/``ael`` (constant-position compatibility,
+    most-specific wins).
     """
     params = params or DrainParams()
     if "masked" not in df.columns:
@@ -302,14 +332,18 @@ def assign_templates(
     bc = df.sparkSession.sparkContext.broadcast(templates)
     wp = with_params
 
+    sp = strategy_params
+
     @F.pandas_udf(T.StructType(ASSIGN_FIELDS[1:]))  # template..matched
     def assign_udf(masked: pd.Series, text: pd.Series) -> pd.DataFrame:
-        key = (token, strategy, tau, params, wp)
+        key = (token, strategy, tau, params, sp, wp)
         matcher = _MATCHER_CACHE.get(key)
         if matcher is None:
             if strategy == "spell":
                 matcher = _SpellMatcher(bc.value, tau, wp)
-            elif strategy == "iplom":
+            elif strategy == "lenma":
+                matcher = _LenMaMatcher(bc.value, sp, wp)
+            elif strategy in ("iplom", "ael"):
                 matcher = _IPLoMMatcher(bc.value, wp)
             else:
                 matcher = _Matcher(bc.value, params, wp)

@@ -40,7 +40,8 @@ def with_masked(df: DataFrame, params: DrainParams) -> DataFrame:
     return df.withColumn("masked", mask_expr("text", params.rex))
 
 
-def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0.5):
+def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0.5,
+                    strategy_params=None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -57,22 +58,28 @@ def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0
                 else:
                     seen[text] = int(cnt)
                     order.append(text)
-        if strategy == "iplom":
-            # batch algorithm: fit over the weighted unique-text set
-            from logparser_spark.iplom import iplom_fit
-
-            clusters = iplom_fit(seen).clusters
+        if strategy in ("iplom", "ael"):
+            # batch algorithms are pure functions of the weighted unique-
+            # text SET: emit the partition's deduped texts and let the
+            # driver run the one global fit over the union — distributed
+            # output is then EXACTLY the sequential fit, not a
+            # merge-of-fits approximation (AEL's (len, n_wildcard)
+            # binning isn't even closed under re-fitting templates).
+            # Collected volume is unique masked texts (KBs–MBs: masking
+            # collapses parameters), and the scale path mines on a
+            # sample_one_in subset anyway.
             yield pd.DataFrame(
-                {
-                    "template": [c.template for c in clusters],
-                    "count": [c.count for c in clusters],
-                }
+                {"template": list(seen.keys()), "count": list(seen.values())}
             )
             return
         if strategy == "spell":
             from logparser_spark.spell import SpellMap, SpellParams
 
             tree = SpellMap(SpellParams(tau))
+        elif strategy == "lenma":
+            from logparser_spark.lenma import LenMaMap
+
+            tree = LenMaMap(strategy_params)
         else:
             tree = DrainTree(params)
         for text in order:
@@ -96,6 +103,7 @@ def mine_templates(
     tau: float = 0.5,
     partition_col: str = "conv_id",
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    strategy_params=None,
 ) -> list:
     """Mine the global template set from a (already masked or raw) frame.
 
@@ -114,13 +122,25 @@ def mine_templates(
     if sample_one_in > 1:
         src = src.filter(bucket_expr(partition_col, sample_one_in) == 0)
     cols = list(dict.fromkeys([*order_cols, "masked"]))
+    # Skew guard: partitioning by conv alone puts a dominant conversation
+    # (Zipf head) in ONE task, and that straggler becomes the stage time
+    # once cores ≫ partitions-per-wave. Long groups are split into
+    # ``chunk_turns``-sized chunks (still internally ordered by
+    # order_cols), which is safe because mining is canonicalized by the
+    # driver merge — per-partition template sets, not row order, define
+    # the result.
+    chunk_turns = 1024
+    part_keys = [F.col(partition_col)]
+    if len(order_cols) > 1:
+        part_keys.append(F.floor(F.col(order_cols[-1]) / chunk_turns))
     part = (
         src.select(*cols)
-        .repartition(cfg.num_partitions, F.col(partition_col))
+        .repartition(cfg.num_partitions, *part_keys)
         .sortWithinPartitions(*order_cols)
     )
     rows = part.mapInPandas(
-        _mine_partition(params, strategy, tau), "template string, count long"
+        _mine_partition(params, strategy, tau, strategy_params),
+        "template string, count long",
     ).collect()
     pairs = [[(r["template"], r["count"]) for r in rows]]
     if strategy == "spell":
@@ -130,5 +150,13 @@ def mine_templates(
     if strategy == "iplom":
         from logparser_spark.iplom import merge_iplom_sets
 
-        return merge_iplom_sets(pairs)
+        return merge_iplom_sets(pairs, strategy_params)
+    if strategy == "ael":
+        from logparser_spark.ael import merge_ael_sets
+
+        return merge_ael_sets(pairs, strategy_params)
+    if strategy == "lenma":
+        from logparser_spark.lenma import merge_lenma_sets
+
+        return merge_lenma_sets(pairs, strategy_params)
     return merge_template_sets(pairs, params)

@@ -52,10 +52,14 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
     # the write-side shuffle or persist it to sinks
     if "masked" in df.columns:
         df = df.drop("masked")
+    # sub-bucket on (conv_id, turn_idx), not conv_id alone: a dominant
+    # conversation would otherwise land in one write task and become the
+    # stage straggler (its sink would also produce one giant file)
+    sub_buckets = max(cfg.num_partitions // 8, 1)
     clustered = df.repartition(
         cfg.num_partitions,
         F.col("sink_id"),
-        bucket_expr("conv_id", max(cfg.num_partitions // 8, 1)),
+        F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
     )
     (
         clustered.write.format(cfg.sink_format)
