@@ -39,6 +39,7 @@ from logparser_spark.operators.similarity import (
     ann_corpus_neighbors,
     ann_corpus_neighbors_sql,
     ann_lsh_topk,
+    ann_lsh_topk_sql,
     cosine_topk,
 )
 from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
@@ -785,7 +786,12 @@ SQL_SIMHASH = simhash_sql(
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, emb.filter("vec_id < 5"), n_planes=4, n_tables=4, k=5)
+    return ann_lsh_topk(emb, emb.filter("vec_id < 5"), n_planes=4, n_tables=4, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_ANN_LSH = ann_lsh_topk_sql(query_filter="vec_id < 5", n_planes=4, n_tables=4, k=5)
 
 
 ANN_CORPUS_KW = dict(n_planes=8, n_tables=2, k=3)
@@ -843,6 +849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_counts": q_cube_counts,
     "simhash_candidates": q_simhash_candidates,
     "ann_corpus_neighbors": q_ann_corpus_neighbors,
+    "ann_lsh_topk": q_ann_lsh_topk,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -851,7 +858,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iplom_template_table": q_iplom_template_table,
     "lenma_template_table": q_lenma_template_table,
     "ael_template_table": q_ael_template_table,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -873,6 +879,7 @@ ORACLES: dict[str, str] = {
     "jaccard_verified": SQL_JACCARD_VERIFIED,
     "simhash_candidates": SQL_SIMHASH,
     "ann_corpus_neighbors": SQL_ANN_CORPUS,
+    "ann_lsh_topk": SQL_ANN_LSH,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

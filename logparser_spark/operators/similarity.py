@@ -240,6 +240,58 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_lsh_topk_sql(
+    table: str = "embeddings",
+    query_filter: str = "vec_id < 5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    k: int = 5,
+    seed: str = "lsh",
+) -> str:
+    """DuckDB-SQL twin of :func:`ann_lsh_topk` (broadcast-query form):
+    corpus and the filtered query set are bucketed with the same inlined
+    hyperplanes; candidates share a bucket in ≥1 table.  ``sim`` ranks
+    but is excluded from the checked output (``SQL_KNN`` precedent)."""
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplane_signs(dim, n_planes, f"{seed}:{t}")
+        bits = " + ".join(
+            f"(CASE WHEN {_sql_dot(vec_col, str([float(s) for s in signs]), dim)}"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, signs in enumerate(planes)
+        )
+        per_table.append(
+            f"SELECT {id_col} AS vid, {t} AS tbl, ({bits}) AS bucket FROM {table}"
+        )
+    bk_sql = " UNION ALL ".join(per_table)
+    dot = _sql_dot(f"q.{vec_col}", f"n.{vec_col}", dim)
+    norm_q = f"sqrt({_sql_dot(f'q.{vec_col}', f'q.{vec_col}', dim)})"
+    norm_n = f"sqrt({_sql_dot(f'n.{vec_col}', f'n.{vec_col}', dim)})"
+    return f"""
+WITH bk AS ({bk_sql}),
+qb AS (SELECT bk.* FROM bk JOIN {table} v ON v.{id_col} = bk.vid
+       WHERE {query_filter}),
+pairs AS (SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
+          FROM qb q JOIN bk c USING (tbl, bucket)
+          WHERE c.vid <> q.vid),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, {dot} / ({norm_q} * {norm_n}) AS sim
+  FROM pairs p
+  JOIN {table} q ON q.{id_col} = p.query_id
+  JOIN {table} n ON n.{id_col} = p.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
