@@ -59,6 +59,92 @@ def streaming_sink_counts(
     )
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` (event-time timeout).
+
+    Batch sessionization (:func:`logparser_spark.operators.sessions.
+    sessionize`) is a window over the full history; continuous ingest
+    needs bounded state instead: per key we hold ONE open session
+    (start, last_ts, count).  Within a micro-batch, events are sorted by
+    event time and a gap > ``gap_minutes`` closes the current session
+    (emitted immediately); the final open session is kept in state with
+    an event-time timeout at ``last_ts + gap``, so the watermark passing
+    that point flushes it in a later batch with no event required.
+    Output rows are CLOSED sessions only: (key, session_start,
+    session_end, n_events).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        f"{key_col} string, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start_ms long, last_ms long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        k = key[0]
+
+        def emit(start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key_col: [k],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield emit(start_ms, last_ms, n)
+            return
+
+        ts_ms = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+        ts_ms = (ts_ms.astype("int64") // 1_000_000).tolist()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms = last_ms = None
+            n = 0
+        for t in ts_ms:
+            if last_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms > gap_ms:
+                yield emit(start_ms, last_ms, n)
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms, n = t, n + 1
+        state.update((start_ms, last_ms, n))
+        # the timeout must sit beyond the current watermark (Spark
+        # enforces it); a session already older than the watermark is
+        # flushed at the very next trigger
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     in_path: str,

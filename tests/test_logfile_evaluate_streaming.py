@@ -8,6 +8,7 @@ import shutil
 import tempfile
 
 import duckdb
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -117,6 +118,135 @@ def test_grouping_accuracy_matches_sql_twin(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", df.collect())
     want = con.execute(grouping_accuracy_sql("t", "gt", "pred")).df()
     assert got.to_dict("records") == want.to_dict("records")
+
+
+def test_streaming_sessionize_stateful(spark):
+    """applyInPandasWithState sessionizer: in-batch gap closures emit
+    immediately; open sessions survive in state and flush via event-time
+    timeout when a later batch advances the watermark."""
+    from datetime import datetime, timedelta
+
+    from logparser_spark.streaming.stream import streaming_sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [
+        ("A", t0),
+        ("A", t0 + timedelta(minutes=10)),   # same session
+        ("A", t0 + timedelta(minutes=50)),   # 40 min gap → closes s1
+        ("A", t0 + timedelta(minutes=60)),   # same session as 50m
+        ("B", t0 + timedelta(minutes=5)),    # single-event open session
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+        spark.createDataFrame(rows1, "conv_id string, ts timestamp").coalesce(1) \
+            .write.mode("append").parquet(in_path)
+
+        def run_once():
+            stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(in_path)
+            q = (
+                streaming_sessionize(stream, gap_minutes=30, watermark="1 minute")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (r["conv_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.read.parquet(out_path).collect()
+            }
+
+        got1 = run_once()
+        # the in-batch gap closure emits A's first session; availableNow
+        # then fires a timer batch at watermark t0+59m, which flushes
+        # B's session (timeout t0+35m) but not A's open one (t0+90m)
+        assert got1 == {
+            ("A", t0, t0 + timedelta(minutes=10), 2),
+            ("B", t0 + timedelta(minutes=5), t0 + timedelta(minutes=5), 1),
+        }
+
+        # a far-future event advances the watermark past both open
+        # sessions' timeouts → they flush without any event of their own
+        spark.createDataFrame(
+            [("C", t0 + timedelta(hours=12))], "conv_id string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(in_path)
+        got2 = run_once()
+        assert got2 == {
+            ("A", t0, t0 + timedelta(minutes=10), 2),
+            ("A", t0 + timedelta(minutes=50), t0 + timedelta(minutes=60), 2),
+            ("B", t0 + timedelta(minutes=5), t0 + timedelta(minutes=5), 1),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sessionize_closed_match_batch(spark):
+    """Closed streaming sessions equal the batch sessionize summary minus
+    each key's final (still-open) session."""
+    from datetime import datetime, timedelta
+
+    from logparser_spark.operators.sessions import sessionize
+    from logparser_spark.streaming.stream import streaming_sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for k in range(6):
+        t = t0 + timedelta(minutes=7 * k)
+        for i in range(20):
+            gap = 45 if (i * (k + 3)) % 5 == 0 and i else (i * (k + 1)) % 9
+            t = t + timedelta(minutes=gap)
+            rows.append((f"c{k}", t))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+
+    batch = (
+        sessionize(df, "conv_id", "ts", 30)
+        .groupBy("conv_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bp = batch.toPandas()
+    # expected emissions: every session except a conv's final one whose
+    # event-time timeout (end + gap) is still beyond the final watermark
+    # (availableNow ends with a timer batch at max_ts - watermark_delay)
+    wm = bp["session_end"].max() - pd.Timedelta(minutes=1)
+    last_idx = set(bp.groupby("conv_id")["session_id"].idxmax())
+    closed_batch = {
+        (r.conv_id, r.session_start, r.session_end, r.n_events)
+        for r in bp.itertuples()
+        if not (
+            r.Index in last_idx
+            and r.session_end + pd.Timedelta(minutes=30) > wm
+        )
+    }
+
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+        df.coalesce(1).write.parquet(in_path)
+        stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(in_path)
+        q = (
+            streaming_sessionize(stream, gap_minutes=30, watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["conv_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out_path).collect()
+        }
+        assert got == closed_batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_streaming_pipeline_matches_batch(spark):
