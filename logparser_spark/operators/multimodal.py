@@ -111,6 +111,46 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.mapInPandas(fn, out_schema)
 
 
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Arrow-batched resize over ``mapInPandas`` (plumbing real, codec
+    stubbed like :func:`decode_media`).
+
+    Real implementation: decode → resample → re-encode per batch.  The
+    deterministic stand-in re-encodes the payload as
+    ``md5(payload) || target dims`` so output bytes are exact in tests;
+    the metadata struct is updated to the post-resize truth (the part
+    downstream consumers rely on).
+    """
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("resized_w", T.IntegerType()),
+            T.StructField("resized_h", T.IntegerType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if HAVE_REAL_CODECS:
+                raise NotImplementedError(
+                    "real resize path not wired in this sandbox; decode → "
+                    "resample → encode per batch on a real cluster"
+                )
+            tag = f":{target_w}x{target_h}".encode()
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                hashlib.md5(bytes(raw)).digest() + tag for raw in pdf["payload"]
+            ]
+            pdf["resized_w"] = target_w
+            pdf["resized_h"] = target_h
+            yield pdf[out_cols]
+
+    return df.mapInPandas(fn, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* (plumbing only): one output row per
     sampled frame index, derived from metadata — the decode of each frame

@@ -100,6 +100,22 @@ def test_media_decode_plumbing(spark, docs):
     )
 
 
+def test_media_resize_plumbing(spark, docs):
+    from logparser_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(docs.limit(40))
+    resized = resize_media(media, target_w=32, target_h=48).toPandas()
+    assert len(resized) == 40
+    assert (resized["resized_w"] == 32).all() and (resized["resized_h"] == 48).all()
+    # deterministic stub re-encode: md5(payload) + dims tag, 16 + 6 bytes
+    assert all(len(bytes(p)) == 16 + len(b":32x48") for p in resized["payload"])
+    again = resize_media(media, target_w=32, target_h=48).toPandas()
+    pd.testing.assert_frame_equal(
+        resized.sort_values("media_id").reset_index(drop=True),
+        again.sort_values("media_id").reset_index(drop=True),
+    )
+
+
 def test_frame_sampling_plan(spark, docs):
     media = media_from_documents(docs.limit(60))
     frames = frame_sample_plan(media, every_n=5)
