@@ -775,6 +775,12 @@ def q_ael_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _template_table(spark, sf_dir, "ael")
 
 
+def q_logmine_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the LogMine (distance-clustering)
+    strategy — rows-only."""
+    return _template_table(spark, sf_dir, "logmine")
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
@@ -858,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iplom_template_table": q_iplom_template_table,
     "lenma_template_table": q_lenma_template_table,
     "ael_template_table": q_ael_template_table,
+    "logmine_template_table": q_logmine_template_table,
     "multimodal_decode": q_multimodal_decode,
 }
 

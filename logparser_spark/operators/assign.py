@@ -221,6 +221,39 @@ class _LenMaMatcher(_BaseMatcher):
         return out
 
 
+class _LogMineMatcher(_BaseMatcher):
+    """Read-only LogMine matcher: the mining distance applied
+    template-vs-text (wildcards match anything); the most-similar pattern
+    within ``max_dist`` wins, ties to the lexicographically-smallest
+    template (templates arrive sorted)."""
+
+    def __init__(self, templates: list[str], params, with_params: bool):
+        super().__init__(templates, with_params)
+        from logparser_spark.logmine import LogMineParams
+
+        self.params = params or LogMineParams()
+        self.tpl_tokens = [
+            (t.split(" ") if t else [""], t) for t in templates
+        ]
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        from logparser_spark.logmine import logmine_dist
+
+        out = []
+        for u in uniques:
+            toks = u.split() or [""]
+            best, best_d = None, None
+            for tpl_toks, tpl in self.tpl_tokens:
+                d = logmine_dist(tpl_toks, toks)
+                if best_d is None or d < best_d:
+                    best, best_d = tpl, d
+            if best is not None and best_d <= self.params.max_dist:
+                out.append((best, event_id_of(best), True))
+            else:
+                out.append((u, event_id_of(u), u in self.template_set))
+        return out
+
+
 class _IPLoMMatcher(_BaseMatcher):
     """Read-only matcher over a fixed IPLoM (or AEL — same fixed-length
     wildcarded shape) template set.
@@ -343,6 +376,8 @@ def assign_templates(
                 matcher = _SpellMatcher(bc.value, tau, wp)
             elif strategy == "lenma":
                 matcher = _LenMaMatcher(bc.value, sp, wp)
+            elif strategy == "logmine":
+                matcher = _LogMineMatcher(bc.value, sp, wp)
             elif strategy in ("iplom", "ael"):
                 matcher = _IPLoMMatcher(bc.value, wp)
             else:
