@@ -88,3 +88,71 @@ def test_counts_conserved_through_merge(lines):
     _, clusters = parse_sequential(lines)
     merged = merge_template_sets([[(c.template, c.count) for c in clusters]])
     assert sum(c.count for c in merged) == len(lines)
+
+
+# -- r2 kernels: batch fits are order-free, count-conserving, total ----------
+
+
+def _weights_from(lines):
+    w = {}
+    for t in lines:
+        m = mask_text(t, PATTERNS)
+        w[m] = w.get(m, 0) + 1
+    return w
+
+
+@given(st.lists(line, min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None, derandomize=True)
+def test_batch_kernels_invariants(lines):
+    from logparser_spark.ael import ael_fit
+    from logparser_spark.iplom import iplom_fit
+    from logparser_spark.logmine import logmine_fit
+
+    w = _weights_from(lines)
+    rev = dict(reversed(list(w.items())))
+    for fit in (iplom_fit, ael_fit, logmine_fit):
+        m = fit(w)
+        # counts conserved
+        assert sum(c.count for c in m.clusters) == len(lines)
+        # membership total: every unique masked text is assigned
+        assert set(m.membership) == set(w)
+        # pure function of the set: insertion order never matters
+        m2 = fit(rev)
+        assert [(c.template, c.count) for c in m.clusters] == [
+            (c.template, c.count) for c in m2.clusters
+        ]
+
+
+@given(st.lists(line, min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None, derandomize=True)
+def test_fixed_length_kernels_membership_compatible(lines):
+    """IPLoM/AEL templates are fixed-length wildcarded token lists: the
+    assigned template must have the text's token count and agree on every
+    non-wildcard position (the invariant the shared constant-position
+    matcher relies on)."""
+    from logparser_spark.ael import ael_fit
+    from logparser_spark.config import WILDCARD
+    from logparser_spark.iplom import iplom_fit
+
+    w = _weights_from(lines)
+    for fit in (iplom_fit, ael_fit):
+        m = fit(w)
+        for text, tpl in m.membership.items():
+            toks = text.split() or [""]
+            tt = tpl.split(" ") if tpl else [""]
+            assert len(tt) == len(toks)
+            assert all(a == WILDCARD or a == b for a, b in zip(tt, toks))
+
+
+@given(st.lists(line, min_size=1, max_size=25))
+@settings(max_examples=50, deadline=None, derandomize=True)
+def test_lenma_online_count_conservation(lines):
+    from logparser_spark.lenma import LenMaMap
+
+    lmap = LenMaMap()
+    for t in lines:
+        lmap.add_message(mask_text(t, PATTERNS).split() or [""])
+    assert sum(c.count for c in lmap.clusters) == len(lines)
+    # templates keep their token count through wildcarding
+    for c in lmap.clusters:
+        assert len(c.tokens) == len(c.lengths)
