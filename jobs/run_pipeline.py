@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--mine-sample-one-in", type=int, default=1)
     ap.add_argument("--num-partitions", type=int, default=0)
     ap.add_argument("--checkpoint-buckets", type=int, default=0)
+    ap.add_argument("--strategy", default="drain",
+                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +59,8 @@ def main() -> None:
         raise SystemExit("need --input or --synthetic-turns")
 
     result = run_pipeline(
-        spark, transcripts, args.out, cfg, mine_sample_one_in=args.mine_sample_one_in
+        spark, transcripts, args.out, cfg,
+        mine_sample_one_in=args.mine_sample_one_in, strategy=args.strategy,
     )
     swc, twc = aggregates_from_routed(spark, result, cfg)
     agg_path = f"{args.out}/agg_sink_window"

@@ -59,9 +59,13 @@ def run_pipeline(
     lkp_tool: DataFrame | None = None,
     mine_sample_one_in: int = 1,
     fail_after_buckets: int | None = None,
+    strategy: str = "drain",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline into ``out_dir``.
 
+    ``strategy`` selects the mining/matching engine (drain, spell,
+    iplom, lenma, ael, logmine); the frozen-template contract and resume
+    protocol are engine-independent (templates are plain strings).
     ``fail_after_buckets`` is a test hook: commit only the first k buckets'
     manifests then raise, simulating a mid-run death *after* partial
     output landed (SURVEY §5.2 resume test).
@@ -102,7 +106,9 @@ def run_pipeline(
     # -- templates: frozen on first run, reused on resume -------------------
     clusters = M.load_templates(out_dir)
     if clusters is None:
-        clusters = mine_templates(transcripts, cfg, sample_one_in=mine_sample_one_in)
+        clusters = mine_templates(
+            transcripts, cfg, sample_one_in=mine_sample_one_in, strategy=strategy
+        )
         M.save_templates(clusters, out_dir)
         clusters = M.load_templates(out_dir)  # canonical (sorted) form
     result.n_templates = len(clusters)
@@ -113,15 +119,23 @@ def run_pipeline(
     )
     pending = bucketed.filter(F.col("ckpt_bucket").isin([int(b) for b in todo]))
 
-    assigned = assign_templates(pending, clusters, cfg.drain)
+    assigned = assign_templates(pending, clusters, cfg.drain, strategy=strategy)
     enriched = enrich(assigned, lkp_role, lkp_tool)
     routed = with_sink_id(enriched, cfg)
     if "masked" in routed.columns:  # derived column — not persisted
         routed = routed.drop("masked")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # third key de-skews within (bucket, sink): a dominant conversation
+    # must not serialize one write task (same guard as route_write)
+    sub_buckets = max(cfg.num_partitions // 8, 1)
     (
-        routed.repartition(cfg.num_partitions, F.col("ckpt_bucket"), F.col("sink_id"))
+        routed.repartition(
+            cfg.num_partitions,
+            F.col("ckpt_bucket"),
+            F.col("sink_id"),
+            F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
+        )
         .write.format(cfg.sink_format)
         .mode("overwrite")
         .partitionBy("ckpt_bucket", "sink_id")
