@@ -41,6 +41,8 @@ from logparser_spark.operators.similarity import (
     ann_lsh_topk,
     ann_lsh_topk_sql,
     cosine_topk,
+    embedding_near_dups,
+    embedding_near_dups_sql,
 )
 from logparser_spark.sources.lookups import lkp_role_df, lkp_tool_df
 from logparser_spark.sources.transcripts import transcripts_df
@@ -813,6 +815,20 @@ def q_ann_corpus_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_CORPUS = ann_corpus_neighbors_sql(**ANN_CORPUS_KW)
 
+# 0.3 yields a few hundred pairs over the synthetic embeddings (they have
+# no planted high-cosine dups, so a "near-dup" threshold there checks
+# nothing — the construction is what's under test)
+NEAR_DUP_KW = dict(threshold=0.3, n_planes=4, n_tables=4)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, thresholded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, **NEAR_DUP_KW)
+
+
+SQL_NEAR_DUPS = embedding_near_dups_sql(**NEAR_DUP_KW)
+
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -856,6 +872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_candidates": q_simhash_candidates,
     "ann_corpus_neighbors": q_ann_corpus_neighbors,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
     "drain_assignments": q_drain_assignments,
@@ -887,6 +904,7 @@ ORACLES: dict[str, str] = {
     "simhash_candidates": SQL_SIMHASH,
     "ann_corpus_neighbors": SQL_ANN_CORPUS,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "embedding_near_dups": SQL_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

@@ -240,6 +240,103 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: str = "lsh",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS over the whole corpus:
+    LSH-bucketed candidates (nothing broadcast, no all-pairs), kept when
+    rounded cosine ≥ ``threshold``.  Canonical orientation id_a < id_b.
+
+    The dedup-flavored sibling of :func:`ann_corpus_neighbors` — same
+    candidate machinery, thresholded instead of top-k (no ranking
+    window; canonical pairs only, so half the candidate stream).
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    buckets = [
+        _table_bucket_expr(F.col("_vec"), dim, n_planes, f"{seed}:{t}")
+        for t in range(n_tables)
+    ]
+    bk = c.select("_id", F.posexplode(F.array(*buckets)).alias("tbl", "bucket"))
+    ok = (
+        bk.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket_size)
+        .select("tbl", "bucket")
+    )
+    bk = bk.join(ok, ["tbl", "bucket"], "left_semi")
+    a = bk.select(F.col("_id").alias("id_a"), "tbl", "bucket")
+    b = bk.select(F.col("_id").alias("id_b"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = c.select(F.col("_id").alias("id_a"), F.col("_vec").alias("q_vec"))
+    vb = c.select(F.col("_id").alias("id_b"), F.col("_vec").alias("c_vec"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dups_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: str = "lsh",
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB-SQL twin of :func:`embedding_near_dups` (rounded sim is
+    part of the checked output — round(6) parity holds for the ordered
+    double dot construction, the ``knn_bruteforce`` precedent)."""
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplane_signs(dim, n_planes, f"{seed}:{t}")
+        bits = " + ".join(
+            f"(CASE WHEN {_sql_dot(vec_col, str([float(s) for s in signs]), dim)}"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, signs in enumerate(planes)
+        )
+        per_table.append(
+            f"SELECT {id_col} AS vid, {t} AS tbl, ({bits}) AS bucket FROM {table}"
+        )
+    bk_sql = " UNION ALL ".join(per_table)
+    dot = _sql_dot(f"q.{vec_col}", f"n.{vec_col}", dim)
+    norm_q = f"sqrt({_sql_dot(f'q.{vec_col}', f'q.{vec_col}', dim)})"
+    norm_n = f"sqrt({_sql_dot(f'n.{vec_col}', f'n.{vec_col}', dim)})"
+    return f"""
+WITH bk AS ({bk_sql}),
+ok AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket
+       HAVING count(*) <= {max_bucket_size}),
+bo AS (SELECT bk.* FROM bk JOIN ok USING (tbl, bucket)),
+pairs AS (SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+          FROM bo a JOIN bo b USING (tbl, bucket) WHERE a.vid < b.vid)
+SELECT id_a, id_b, round({dot} / ({norm_q} * {norm_n}), 6) AS sim
+FROM pairs p
+JOIN {table} q ON q.{id_col} = p.id_a
+JOIN {table} n ON n.{id_col} = p.id_b
+WHERE round({dot} / ({norm_q} * {norm_n}), 6) >= {threshold}
+"""
+
+
 def ann_lsh_topk_sql(
     table: str = "embeddings",
     query_filter: str = "vec_id < 5",
