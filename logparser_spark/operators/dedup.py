@@ -108,8 +108,15 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket_size`` (degenerate boilerplate) are
     dropped — explicit skew guard; count them upstream if reporting.
     """
+    # the md5-heavy explode inherits the scan's split count; a small
+    # input (one file → 1-2 splits) would serialize it onto 2 cores.
+    # A 100 TB corpus has thousands of splits and skips this.
+    src = df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
     bands = lsh_bands(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures(src, id_col, text_col, num_hashes, shingle_n),
         id_col,
         rows_per_band,
     )
