@@ -28,7 +28,8 @@ def main() -> None:
                     help="loghub structured CSV with LineId,EventId (repeatable; "
                          "'' to skip a position)")
     ap.add_argument("--out", help="also write <name>_structured/_templates.csv here")
-    ap.add_argument("--strategy", default="drain", choices=["drain", "spell", "iplom"])
+    ap.add_argument("--strategy", default="drain",
+                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso"])
     ap.add_argument("--num-partitions", type=int, default=0)
     args = ap.parse_args()
     if len(args.dataset) != len(args.log_file):

@@ -221,6 +221,41 @@ class _LenMaMatcher(_BaseMatcher):
         return out
 
 
+class _ShisoMatcher(_BaseMatcher):
+    """Read-only SHISO matcher: the mining DISTANCE RULE applied against
+    the final template list (min mean word distance ≤ threshold; ties to
+    the lexicographically-smallest template).  The capacity tree only
+    accelerates online mining — a read-only walk can diverge from a
+    text's true cluster branch (texts differ from their templates at
+    parameter positions), while the flat rule is exact and memoized per
+    unique text over a small template list."""
+
+    def __init__(self, templates: list[str], params, with_params: bool):
+        super().__init__(templates, with_params)
+        from logparser_spark.shiso import ShisoParams
+
+        self.params = params or ShisoParams()
+        self.tpl_tokens = [(t.split(" ") if t else [""], t) for t in templates]
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        from logparser_spark.shiso import log_dist
+
+        floor = self.params.mismatch_floor
+        out = []
+        for u in uniques:
+            toks = u.split() or [""]
+            best, best_d = None, None
+            for tpl_toks, tpl in self.tpl_tokens:  # sorted → tie = smallest
+                d = log_dist(tpl_toks, toks, floor)
+                if best_d is None or d < best_d:
+                    best, best_d = tpl, d
+            if best is not None and best_d <= self.params.threshold:
+                out.append((best, event_id_of(best), True))
+            else:
+                out.append((u, event_id_of(u), u in self.template_set))
+        return out
+
+
 class _LogMineMatcher(_BaseMatcher):
     """Read-only LogMine matcher: the mining distance applied
     template-vs-text (wildcards match anything); the most-similar pattern
@@ -378,6 +413,8 @@ def assign_templates(
                 matcher = _LenMaMatcher(bc.value, sp, wp)
             elif strategy == "logmine":
                 matcher = _LogMineMatcher(bc.value, sp, wp)
+            elif strategy == "shiso":
+                matcher = _ShisoMatcher(bc.value, sp, wp)
             elif strategy in ("iplom", "ael"):
                 matcher = _IPLoMMatcher(bc.value, wp)
             else:

@@ -80,6 +80,10 @@ def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0
             from logparser_spark.lenma import LenMaMap
 
             tree = LenMaMap(strategy_params)
+        elif strategy == "shiso":
+            from logparser_spark.shiso import ShisoTree
+
+            tree = ShisoTree(strategy_params)
         else:
             tree = DrainTree(params)
         for text in order:
@@ -163,4 +167,8 @@ def mine_templates(
         from logparser_spark.lenma import merge_lenma_sets
 
         return merge_lenma_sets(pairs, strategy_params)
+    if strategy == "shiso":
+        from logparser_spark.shiso import merge_shiso_sets
+
+        return merge_shiso_sets(pairs, strategy_params)
     return merge_template_sets(pairs, params)
