@@ -32,6 +32,28 @@ def test_settings_bank_formats_compile():
         assert 0 < s.st < 1 and 3 <= s.depth <= 8, name
 
 
+def test_every_format_round_trips_a_sample_line():
+    """For each dataset, synthesize a line from its own format string and
+    assert the compiled regex splits it back into the declared headers."""
+    samples = {
+        "Date": "081109", "Time": "203518", "Pid": "145", "Level": "INFO",
+        "Component": "dfs.DataNode", "Content": "sample content words here",
+        "Process": "main", "Node": "node1", "Id": "42", "Label": "-",
+        "Timestamp": "1131566461", "NodeRepeat": "node7", "Type": "RAS",
+        "LogId": "8453", "State": "ok", "Flag": "1", "User": "root",
+        "Month": "Jun", "Day": "14", "Location": "srv01", "Tid": "771",
+        "Program": "prog.exe", "ADDR": "req-1", "Logrecord": "nova.log.1",
+    }
+    for name, s in BENCHMARK_SETTINGS.items():
+        headers, rx = compile_log_format(s.log_format)
+        line = s.log_format
+        for h in headers:
+            line = line.replace(f"<{h}>", samples[h], 1)
+        m = re.match(rx, line)
+        assert m, f"{name}: sample line failed its own format: {line!r}"
+        assert m.group(len(headers)) == samples["Content"], name
+
+
 def _write_synthetic_hdfs(d: str, n: int = 120) -> tuple[str, str]:
     """Deterministic HDFS-format dataset with 3 known event groups and a
     loghub-style ground-truth structured CSV."""
