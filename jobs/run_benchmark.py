@@ -29,7 +29,7 @@ def main() -> None:
                          "'' to skip a position)")
     ap.add_argument("--out", help="also write <name>_structured/_templates.csv here")
     ap.add_argument("--strategy", default="drain",
-                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso"])
+                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso", "lke"])
     ap.add_argument("--num-partitions", type=int, default=0)
     args = ap.parse_args()
     if len(args.dataset) != len(args.log_file):

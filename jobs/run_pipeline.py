@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--num-partitions", type=int, default=0)
     ap.add_argument("--checkpoint-buckets", type=int, default=0)
     ap.add_argument("--strategy", default="drain",
-                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso"])
+                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso", "lke"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -789,6 +789,12 @@ def q_shiso_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _template_table(spark, sf_dir, "shiso")
 
 
+def q_lke_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the LKE (weighted-edit-distance +
+    private-value splitting) strategy — rows-only."""
+    return _template_table(spark, sf_dir, "lke")
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
@@ -889,6 +895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ael_template_table": q_ael_template_table,
     "logmine_template_table": q_logmine_template_table,
     "shiso_template_table": q_shiso_template_table,
+    "lke_template_table": q_lke_template_table,
     "multimodal_decode": q_multimodal_decode,
 }
 

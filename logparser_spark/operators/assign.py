@@ -290,8 +290,8 @@ class _LogMineMatcher(_BaseMatcher):
 
 
 class _IPLoMMatcher(_BaseMatcher):
-    """Read-only matcher over a fixed IPLoM (or AEL — same fixed-length
-    wildcarded shape) template set.
+    """Read-only matcher over a fixed IPLoM (or AEL/LKE — same
+    fixed-length wildcarded shape) template set.
 
     IPLoM templates are fixed-length with ``<*>`` at non-constant
     positions; a text belongs to a leaf iff it agrees with the template on
@@ -415,7 +415,7 @@ def assign_templates(
                 matcher = _LogMineMatcher(bc.value, sp, wp)
             elif strategy == "shiso":
                 matcher = _ShisoMatcher(bc.value, sp, wp)
-            elif strategy in ("iplom", "ael"):
+            elif strategy in ("iplom", "ael", "lke"):
                 matcher = _IPLoMMatcher(bc.value, wp)
             else:
                 matcher = _Matcher(bc.value, params, wp)

@@ -64,7 +64,7 @@ def run_pipeline(
     """Run (or resume) the full pipeline into ``out_dir``.
 
     ``strategy`` selects the mining/matching engine (drain, spell,
-    iplom, lenma, ael, logmine, shiso); the frozen-template contract and resume
+    iplom, lenma, ael, logmine, shiso, lke); the frozen-template contract and resume
     protocol are engine-independent (templates are plain strings).
     ``fail_after_buckets`` is a test hook: commit only the first k buckets'
     manifests then raise, simulating a mid-run death *after* partial

@@ -100,7 +100,7 @@ def test_benchmark_all_strategies_agree_on_clean_data(spark):
     d = tempfile.mkdtemp()
     try:
         log_path, gt_path = _write_synthetic_hdfs(d, n=60)
-        for strategy in ("drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso"):
+        for strategy in ("drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso", "lke"):
             parsed = parse_log_file(
                 spark, log_path, BENCHMARK_SETTINGS["HDFS"], 4, strategy
             )
