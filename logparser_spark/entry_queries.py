@@ -747,8 +747,13 @@ def q_spell_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _template_table(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
-    clusters = mine_templates(_transcripts(spark, sf_dir), CFG, strategy=strategy)
+def _template_table(
+    spark: SparkSession, sf_dir: str, strategy: str, strategy_params=None
+) -> DataFrame:
+    clusters = mine_templates(
+        _transcripts(spark, sf_dir), CFG, strategy=strategy,
+        strategy_params=strategy_params,
+    )
     return spark.createDataFrame(
         [(c.template, int(c.count)) for c in clusters],
         "template string, occurrences long",
@@ -793,6 +798,16 @@ def q_lke_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template table mined by the LKE (weighted-edit-distance +
     private-value splitting) strategy — rows-only."""
     return _template_table(spark, sf_dir, "lke")
+
+
+def q_logsig_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the LogSig (message-signature) strategy —
+    rows-only.  k = the transcript bank's event count (LogSig takes k as
+    input by design)."""
+    from logparser_spark.logsig import LogSigParams
+    from logparser_spark.sources.transcripts import N_TEMPLATES
+
+    return _template_table(spark, sf_dir, "logsig", LogSigParams(k=N_TEMPLATES))
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logmine_template_table": q_logmine_template_table,
     "shiso_template_table": q_shiso_template_table,
     "lke_template_table": q_lke_template_table,
+    "logsig_template_table": q_logsig_template_table,
     "multimodal_decode": q_multimodal_decode,
 }
 

@@ -256,6 +256,49 @@ class _ShisoMatcher(_BaseMatcher):
         return out
 
 
+class _LogSigMatcher(_BaseMatcher):
+    """Read-only LogSig matcher: signatures are majority-term sequences,
+    so a text matches the signature whose terms form an ordered
+    subsequence of its tokens, most terms first; texts containing no
+    full signature (minority group members whose group signature carries
+    another member's terms) fall back to maximum term overlap.  Both
+    rules tie to the lexicographically-smallest signature."""
+
+    def __init__(self, templates: list[str], with_params: bool):
+        super().__init__(templates, with_params)
+        self.sigs = [
+            (t.split(" ") if t else [""], set(t.split(" ") if t else [""]), t)
+            for t in templates
+        ]
+
+    @staticmethod
+    def _is_subseq(sig: list[str], toks: list[str]) -> bool:
+        it = iter(toks)
+        return all(s in it for s in sig)
+
+    def match_unique(self, uniques: np.ndarray) -> list[tuple[str, str, bool]]:
+        out = []
+        for u in uniques:
+            toks = u.split() or [""]
+            tok_set = set(toks)
+            best, best_n = None, -1
+            for sig, sig_set, tpl in self.sigs:
+                if len(sig) > best_n and sig_set <= tok_set and self._is_subseq(sig, toks):
+                    best, best_n = tpl, len(sig)
+            if best is None:
+                for sig, sig_set, tpl in self.sigs:
+                    n = len(sig_set & tok_set)
+                    if n > best_n:
+                        best, best_n = tpl, n
+                if best_n <= 0:
+                    best = None
+            if best is not None:
+                out.append((best, event_id_of(best), True))
+            else:
+                out.append((u, event_id_of(u), u in self.template_set))
+        return out
+
+
 class _LogMineMatcher(_BaseMatcher):
     """Read-only LogMine matcher: the mining distance applied
     template-vs-text (wildcards match anything); the most-similar pattern
@@ -415,6 +458,8 @@ def assign_templates(
                 matcher = _LogMineMatcher(bc.value, sp, wp)
             elif strategy == "shiso":
                 matcher = _ShisoMatcher(bc.value, sp, wp)
+            elif strategy == "logsig":
+                matcher = _LogSigMatcher(bc.value, wp)
             elif strategy in ("iplom", "ael", "lke"):
                 matcher = _IPLoMMatcher(bc.value, wp)
             else:

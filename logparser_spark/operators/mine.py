@@ -58,7 +58,7 @@ def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0
                 else:
                     seen[text] = int(cnt)
                     order.append(text)
-        if strategy in ("iplom", "ael", "logmine", "lke"):
+        if strategy in ("iplom", "ael", "logmine", "lke", "logsig"):
             # batch algorithms are pure functions of the weighted unique-
             # text SET: emit the partition's deduped texts and let the
             # driver run the one global fit over the union — distributed
@@ -167,6 +167,10 @@ def mine_templates(
         from logparser_spark.lke import merge_lke_sets
 
         return merge_lke_sets(pairs, strategy_params)
+    if strategy == "logsig":
+        from logparser_spark.logsig import merge_logsig_sets
+
+        return merge_logsig_sets(pairs, strategy_params)
     if strategy == "lenma":
         from logparser_spark.lenma import merge_lenma_sets
 
