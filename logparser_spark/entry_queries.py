@@ -959,7 +959,24 @@ def _register_lfa_oracles() -> None:
     ORACLES["cube_counts"] = SQL_CUBE
 
 
+def _register_generator_twin_oracles() -> None:
+    """DuckDB twin of the deterministic transcript generator: the flagship
+    parse path (assignments, sink counts) and every engine whose mined
+    template set is a provable function of the bank become hash-checked.
+    shiso/logsig produce size-dependent splits → stay rows-only, as does
+    multimodal (no codecs in the sandbox)."""
+    from logparser_spark import oracle_twin as tw
+
+    ORACLES["drain_assignments"] = tw.sql_drain_assignments()
+    ORACLES["pipeline_sink_counts"] = tw.sql_pipeline_sink_counts(
+        CFG.template_sink_buckets
+    )
+    for eng in (*tw.IDENTITY_ENGINES, "lenma"):
+        ORACLES[f"{eng}_template_table"] = tw.sql_template_table(eng)
+
+
 _register_lfa_oracles()
+_register_generator_twin_oracles()
 
 
 def flagship(spark: SparkSession) -> DataFrame:

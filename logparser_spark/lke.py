@@ -42,6 +42,12 @@ from logparser_spark.config import WILDCARD
 class LKEParams:
     threshold: float = 0.3     # max normalized weighted edit distance
     split_threshold: int = 3   # max distinct values of a private-value column
+    #: hard guard on the O(n² pairs × L² DP) single global fit: LKE's
+    #: clustering is inherently all-pairs over unique masked texts, so a
+    #: masking-miss corpus (high unique cardinality) must fail loudly at
+    #: the fit, not stall the driver.  Mitigations, in order: extend
+    #: ``rex``, mine with ``sample_one_in``, or raise this consciously.
+    max_fit_texts: int = 10_000
 
 
 @dataclass
@@ -108,6 +114,14 @@ def lke_fit(weighted_texts: dict[str, int], params: LKEParams | None = None) -> 
     params = params or LKEParams()
     model = LKEModel(params)
     texts = sorted(weighted_texts)
+    if len(texts) > params.max_fit_texts:
+        raise ValueError(
+            f"lke_fit: {len(texts):,} unique texts exceed "
+            f"max_fit_texts={params.max_fit_texts:,} — the all-pairs "
+            "weighted-edit-distance fit is O(n²·L²) on the driver. "
+            "Extend masking rex, mine with sample_one_in, or raise "
+            "LKEParams.max_fit_texts deliberately."
+        )
     toks = {t: tuple(t.split()) or ("",) for t in texts}
 
     # connected components of the ≤-threshold graph (union-find)

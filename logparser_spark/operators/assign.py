@@ -344,6 +344,17 @@ class _IPLoMMatcher(_BaseMatcher):
     ``assign_templates``).  Vectorized like :class:`_Matcher`: rows group
     by token count and compare against each candidate with one numpy
     broadcast.
+
+    **Defined semantics (ADVICE r2):** most-specific-compatible is the
+    assignment rule, by definition — not a reconstruction of the batch
+    fit's leaf membership.  At 10^12-turn scale assignment must handle
+    texts the (sampled) fit never saw, so a membership map cannot be the
+    contract; the rule is deterministic, text-local, and coincides with
+    fit membership whenever a text is compatible with exactly one mined
+    template (true on the synthetic corpus — pinned by
+    ``test_distributed_iplom_matches_sequential_oracle``).  The
+    ambiguous-overlap case is pinned by
+    ``test_iplom_matcher_most_specific_rule``.
     """
 
     def __init__(self, templates: list[str], with_params: bool):

@@ -34,6 +34,12 @@ from logparser_spark.drain import Cluster, DrainTree, merge_template_sets
 from logparser_spark.functions.hashing import bucket_expr
 from logparser_spark.functions.masking import mask_expr
 
+#: strategies whose fit is a pure function of the weighted unique-text
+#: set — their mine ships per-partition unique TEXTS to the driver, so
+#: the driver-side volume is bounded by the corpus' unique-masked-text
+#: cardinality and must be guarded (see ``unique_cap``).
+BATCH_STRATEGIES = ("iplom", "ael", "logmine", "lke", "logsig")
+
 
 def with_masked(df: DataFrame, params: DrainParams) -> DataFrame:
     """Attach the masked text column (pure native expressions)."""
@@ -108,6 +114,8 @@ def mine_templates(
     partition_col: str = "conv_id",
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     strategy_params=None,
+    unique_cap: int | None = 500_000,
+    cap_action: str = "error",
 ) -> list:
     """Mine the global template set from a (already masked or raw) frame.
 
@@ -117,6 +125,20 @@ def mine_templates(
     universe saturates long before the data does.  ``partition_col`` /
     ``order_cols`` default to the transcripts keys; log-file inputs use
     ``("LineId",)``.
+
+    ``unique_cap`` guards the ``BATCH_STRATEGIES`` driver fit: those
+    kernels collect the corpus' weighted unique masked TEXTS, which is
+    KB–MB sized when masking collapses parameters but unbounded when
+    masking *misses* (high-cardinality alphabetic ids, say).  Before
+    collecting, the unique-text cardinality is estimated distributively
+    (``approx_count_distinct``, one cheap pre-pass) and when it exceeds
+    the cap the mine either fails loudly (``cap_action='error'``, the
+    default — silently OOMing the driver is never acceptable) or
+    auto-escalates ``sample_one_in`` proportionally
+    (``cap_action='sample'``) and mines the reduced sample.  ``None``
+    disables the guard.  Online kernels (drain/spell/lenma/shiso) need
+    no guard — they collect per-partition *template sets*, which their
+    trees compress regardless of input cardinality.
     """
     cfg = cfg or PipelineConfig()
     params = cfg.drain
@@ -125,6 +147,24 @@ def mine_templates(
     src = df
     if sample_one_in > 1:
         src = src.filter(bucket_expr(partition_col, sample_one_in) == 0)
+    if strategy in BATCH_STRATEGIES and unique_cap is not None:
+        est = src.agg(F.approx_count_distinct("masked", 0.02).alias("n")).first()["n"]
+        if est > unique_cap:
+            if cap_action == "sample":
+                import math
+
+                factor = math.ceil(est / unique_cap)
+                sample_one_in *= factor
+                src = src.filter(bucket_expr(partition_col, sample_one_in) == 0)
+            else:
+                raise ValueError(
+                    f"mine_templates[{strategy}]: ~{est:,} unique masked texts "
+                    f"exceed unique_cap={unique_cap:,} — the batch-kernel "
+                    "driver fit would collect them all. Masking likely "
+                    "misses this corpus' parameters: extend rex, raise "
+                    "sample_one_in, or pass cap_action='sample' to "
+                    "auto-escalate the sample (unique_cap=None to override)."
+                )
     cols = list(dict.fromkeys([*order_cols, "masked"]))
     # Skew guard: partitioning by conv alone puts a dominant conversation
     # (Zipf head) in ONE task, and that straggler becomes the stage time

@@ -286,7 +286,10 @@ def embedding_near_dups(
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+            # 4 dp per the repo invariant on floats in checked outputs;
+            # the threshold compares the ROUNDED value so both engines
+            # make the same keep/drop decision at the boundary
+            "sim", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 4)
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
@@ -305,8 +308,9 @@ def embedding_near_dups_sql(
     max_bucket_size: int = 1000,
 ) -> str:
     """DuckDB-SQL twin of :func:`embedding_near_dups` (rounded sim is
-    part of the checked output — round(6) parity holds for the ordered
-    double dot construction, the ``knn_bruteforce`` precedent)."""
+    part of the checked output — round(4) per the repo invariant on
+    floats in checked outputs; the threshold filter compares the rounded
+    value in BOTH engines so boundary rows keep/drop identically)."""
     per_table = []
     for t in range(n_tables):
         planes = hyperplane_signs(dim, n_planes, f"{seed}:{t}")
@@ -329,11 +333,11 @@ ok AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket
 bo AS (SELECT bk.* FROM bk JOIN ok USING (tbl, bucket)),
 pairs AS (SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
           FROM bo a JOIN bo b USING (tbl, bucket) WHERE a.vid < b.vid)
-SELECT id_a, id_b, round({dot} / ({norm_q} * {norm_n}), 6) AS sim
+SELECT id_a, id_b, round({dot} / ({norm_q} * {norm_n}), 4) AS sim
 FROM pairs p
 JOIN {table} q ON q.{id_col} = p.id_a
 JOIN {table} n ON n.{id_col} = p.id_b
-WHERE round({dot} / ({norm_q} * {norm_n}), 6) >= {threshold}
+WHERE round({dot} / ({norm_q} * {norm_n}), 4) >= {threshold}
 """
 
 

@@ -51,13 +51,23 @@ def read_log_file(
     ``LineId`` is 1-based in file order (the reference's scheme,
     ``log_to_dataframe`` ≈L303–323), built scale-safely: a per-partition
     ``row_number`` (parallel — windows are partitioned by the input split)
-    plus a broadcast-joined cumulative partition offset.  The only
-    single-partition work is the running sum over the n_partitions-row
-    counts relation (KB-sized at any file size); the full data is never
-    globally sorted.  File splits are generated in byte-offset order, so
-    ``spark_partition_id`` is monotone in file position and the dense id
-    equals the file line number.  Cost: two scans of the file (counts +
-    data), the standard dense-global-id construction.
+    plus a broadcast-joined cumulative offset.  The only single-partition
+    work is the running sum over the (file, partition)-row counts relation
+    (KB-sized at any file size); the full data is never globally sorted.
+    Cost: two scans of the file (counts + data), the standard
+    dense-global-id construction.
+
+    Multi-file inputs (directory/glob): LineId numbers the concatenation
+    of the input files **sorted by file path** (within each file it is
+    the 1-based file line number).  The cumulative offsets are keyed on
+    ``(input_file_name, spark_partition_id)`` — not partition id alone —
+    because Spark packs splits sorted by length DESCENDING, so partition
+    order follows file *size* across files; within one file, equal-size
+    chunks keep byte-offset order by sort stability and the short tail
+    (highest offset) sorts last, so ``(file, partition_id)`` is monotone
+    in file position.  Small files packed several-per-partition are
+    separated by the ``_file`` key and ordered within the partition by
+    ``monotonically_increasing_id`` (read order).
     """
     headers, rx = compile_log_format(log_format)
     df = spark.read.text(path)
@@ -65,6 +75,7 @@ def read_log_file(
         F.regexp_extract("value", rx, i + 1).alias(h) for i, h in enumerate(headers)
     ]
     out = df.select(
+        F.input_file_name().alias("_file"),
         F.spark_partition_id().alias("_part"),
         F.monotonically_increasing_id().alias("_mid"),
         *cols,
@@ -72,19 +83,20 @@ def read_log_file(
         F.col("value").alias("_raw"),
     )
     if with_line_id:
-        counts = out.groupBy("_part").agg(F.count(F.lit(1)).alias("_n"))
+        counts = out.groupBy("_file", "_part").agg(F.count(F.lit(1)).alias("_n"))
         w_off = (
-            Window.orderBy("_part")
+            Window.orderBy("_file", "_part")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offsets = counts.select(
+            "_file",
             "_part",
             F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
         )
-        w_in = Window.partitionBy("_part").orderBy("_mid")
+        w_in = Window.partitionBy("_file", "_part").orderBy("_mid")
         out = (
-            out.join(F.broadcast(offsets), "_part")
+            out.join(F.broadcast(offsets), ["_file", "_part"])
             .withColumn("LineId", (F.col("_offset") + F.row_number().over(w_in)).cast("long"))
             .drop("_offset")
         )
-    return out.drop("_part", "_mid")
+    return out.drop("_file", "_part", "_mid")

@@ -77,6 +77,10 @@ def streaming_sessionize(
     (emitted immediately); the final open session is kept in state with
     an event-time timeout at ``last_ts + gap``, so the watermark passing
     that point flushes it in a later batch with no event required.
+    Cross-batch late arrivals (above the watermark) merge into the open
+    session by extending its bounds (``min(start)``/``max(end)``) —
+    never shrinking them; a late event more than a gap before the open
+    session's start is emitted as its own closed singleton session.
     Output rows are CLOSED sessions only: (key, session_start,
     session_end, n_events).
     """
@@ -123,8 +127,22 @@ def streaming_sessionize(
             elif t - last_ms > gap_ms:
                 yield emit(start_ms, last_ms, n)
                 start_ms, last_ms, n = t, t, 1
+            elif start_ms - t > gap_ms:
+                # late arrival (above the watermark, so admitted) more
+                # than a gap BEFORE the open session: it can never join
+                # it — emit as its own already-closed session.  State
+                # holds only (start, last, n), not member timestamps, so
+                # a same-batch bridge back to it is not reconstructable;
+                # this is the bounded-state approximation.
+                yield emit(t, t, 1)
             else:
-                last_ms, n = t, n + 1
+                # merge into the open session without ever moving its
+                # boundaries the wrong way: a late event must not shrink
+                # session_end (that would also mis-set the event-time
+                # timeout) and may extend the session backwards
+                start_ms = min(start_ms, t)
+                last_ms = max(last_ms, t)
+                n += 1
         state.update((start_ms, last_ms, n))
         # the timeout must sit beyond the current watermark (Spark
         # enforces it); a session already older than the watermark is

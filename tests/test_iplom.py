@@ -117,6 +117,28 @@ def tdf(spark):
     return transcripts_df(spark, 2000, 30, 20).cache()
 
 
+def test_iplom_matcher_most_specific_rule():
+    """Assignment semantics when a text is compatible with several mined
+    templates: the most-specific (most constant positions) wins, full
+    ties to the lexicographically-smallest — defined behavior, not fit
+    membership (see _IPLoMMatcher docstring)."""
+    from logparser_spark.drain import event_id_of
+    from logparser_spark.operators.assign import _IPLoMMatcher
+
+    import numpy as np
+
+    templates = sorted(
+        ["send <*> to <*>", "send pkt to <*>", "recv <*> to <*>", "recv <*> to here"]
+    )
+    m = _IPLoMMatcher(templates, with_params=False)
+    got = m.match_unique(np.array(["send pkt to host", "recv x to here", "other msg"]))
+    # 'send pkt to host' fits both send-templates → 2-constant one wins
+    assert got[0] == ("send pkt to <*>", event_id_of("send pkt to <*>"), True)
+    assert got[1] == ("recv <*> to here", event_id_of("recv <*> to here"), True)
+    # incompatible text falls through unmatched (dead-letter semantics)
+    assert got[2][2] is False
+
+
 def test_distributed_iplom_matches_sequential_oracle(spark, tdf):
     cfg = PipelineConfig(num_partitions=8)
     mined = mine_templates(tdf, cfg, strategy="iplom")
@@ -137,4 +159,9 @@ def test_distributed_iplom_matches_sequential_oracle(spark, tdf):
         .reset_index(drop=True)
     )
     assert bool(got["matched"].all())
+    # row-wise equality with the sequential fit's membership holds on
+    # this corpus because every masked text is compatible with exactly
+    # ONE mined template; where templates overlap, the matcher's defined
+    # most-specific rule applies instead (see
+    # test_iplom_matcher_most_specific_rule)
     assert got["event_id"].tolist() == [r["event_id"] for r in recs]

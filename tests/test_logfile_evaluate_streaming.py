@@ -82,7 +82,43 @@ def test_line_id_scale_safe_across_splits(spark):
         import re as _re
 
         for wline in [ln for ln in plan.splitlines() if "row_number()" in ln]:
-            assert "windowspecdefinition(_part" in wline, wline
+            assert "windowspecdefinition(_file" in wline, wline
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_id_multi_file_directory(spark):
+    """Directory input: LineId numbers the path-sorted concatenation of
+    the files, regardless of Spark packing splits by size DESC (a larger
+    later-named file must not grab the first ids)."""
+    d = tempfile.mkdtemp()
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # a.log is SMALL, b.log is LARGE and split into several
+        # partitions: size-desc packing puts b's splits first, so a
+        # partition-id-only offset scheme would misnumber a.log
+        sizes = {"a.log": 7, "b.log": 4000}
+        for name, n in sizes.items():
+            with open(os.path.join(d, name), "w") as f:
+                for i in range(1, n + 1):
+                    f.write(
+                        f"081109 203518 {i} INFO dfs.Comp: f={name} line {i} pay\n"
+                    )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        df = read_log_file(spark, d, LOG_FORMAT)
+        rows = df.select("LineId", "Pid", "Content").collect()
+        assert len(rows) == sum(sizes.values())
+        expected = {}  # LineId -> (file, in-file line)
+        lid = 1
+        for name in sorted(sizes):  # path-sorted concatenation
+            for i in range(1, sizes[name] + 1):
+                expected[lid] = (name, i)
+                lid += 1
+        for r in rows:
+            name, i = expected[r["LineId"]]
+            assert int(r["Pid"]) == i, (r["LineId"], name, i, r["Pid"])
+            assert f"f={name} " in r["Content"], (r["LineId"], r["Content"])
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         shutil.rmtree(d, ignore_errors=True)
@@ -179,6 +215,68 @@ def test_streaming_sessionize_stateful(spark):
             ("A", t0 + timedelta(minutes=50), t0 + timedelta(minutes=60), 2),
             ("B", t0 + timedelta(minutes=5), t0 + timedelta(minutes=5), 1),
         }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sessionize_late_arrivals(spark):
+    """Cross-batch late events (above the watermark) must merge into the
+    open session by extending its bounds — never shrinking session_end or
+    mis-setting the event-time timeout; a late event more than a gap
+    before the session start closes as its own singleton."""
+    from datetime import datetime, timedelta
+
+    from logparser_spark.streaming.stream import streaming_sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda mins: t0 + timedelta(minutes=mins)  # noqa: E731
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(in_path)
+            q = (
+                streaming_sessionize(stream, gap_minutes=30, watermark="2 hours")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (r["conv_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.read.parquet(out_path).collect()
+            }
+
+        # batch 1: open session A = [40m, 60m], n=2
+        spark.createDataFrame(
+            [("A", m(40)), ("A", m(60))], "conv_id string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(in_path)
+        assert run_once() == set()
+
+        # batch 2, all LATE (watermark after batch 1 is far in the past):
+        #  t0      → 40m ahead of session start, beyond the 30m gap →
+        #            closed singleton
+        #  t0+35m  → within a gap before start → extends session backwards
+        #  t0+50m  → inside the session span → merges, bounds unchanged
+        spark.createDataFrame(
+            [("A", m(0)), ("A", m(35)), ("A", m(50))],
+            "conv_id string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(in_path)
+        got2 = run_once()
+        assert got2 == {("A", m(0), m(0), 1)}
+
+        # batch 3: far-future event advances the watermark past A's
+        # timeout (60m + 30m) → the merged open session flushes with the
+        # extended bounds and all four merged events counted
+        spark.createDataFrame(
+            [("C", t0 + timedelta(hours=12))], "conv_id string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(in_path)
+        got3 = run_once()
+        assert got3 == {("A", m(0), m(0), 1), ("A", m(35), m(60), 4)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
