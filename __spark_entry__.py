@@ -2,8 +2,12 @@
 
 Implementations live in :mod:`logparser_spark.entry_queries`; every
 SQL-expressible operator has a DuckDB oracle with identical column
-aliases, and non-SQL operators (Drain mining/assignment, ANN,
-multimodal decode) are registered rows-only.
+aliases.  Since r3 the flagship parse path (drain assignments, pipeline
+sink counts) and eight engine template tables are hash-checked against a
+DuckDB twin of the deterministic transcript generator
+(:mod:`logparser_spark.oracle_twin`); only shiso/logsig (size-dependent
+template splits) and multimodal (no codecs in the sandbox) remain
+rows-only.
 """
 
 from __future__ import annotations

@@ -29,7 +29,10 @@ def main() -> None:
                          "'' to skip a position)")
     ap.add_argument("--out", help="also write <name>_structured/_templates.csv here")
     ap.add_argument("--strategy", default="drain",
-                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso", "lke"])
+                    choices=["drain", "spell", "iplom", "lenma", "ael",
+                             "logmine", "shiso", "lke", "logsig", "molfi"])
+    ap.add_argument("--logsig-k", type=int, default=0,
+                    help="event count k for --strategy logsig (required there)")
     ap.add_argument("--num-partitions", type=int, default=0)
     args = ap.parse_args()
     if len(args.dataset) != len(args.log_file):
@@ -48,16 +51,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     nparts = args.num_partitions or spark.sparkContext.defaultParallelism * 2
 
+    strategy_params = None
+    if args.strategy == "logsig":
+        if not args.logsig_k:
+            raise SystemExit("--strategy logsig requires --logsig-k")
+        from logparser_spark.logsig import LogSigParams
+
+        strategy_params = LogSigParams(k=args.logsig_k)
+
     gts = args.ground_truth + [""] * (len(args.dataset) - len(args.ground_truth))
     entries = [
         (d, lf, gt or None)
         for d, lf, gt in zip(args.dataset, args.log_file, gts)
     ]
-    metrics = run_benchmark(spark, entries, nparts, args.strategy)
+    metrics = run_benchmark(spark, entries, nparts, args.strategy,
+                            strategy_params=strategy_params)
     if args.out:
         for d, lf, _ in entries:
             parsed = parse_log_file(
-                spark, lf, BENCHMARK_SETTINGS[d], nparts, args.strategy
+                spark, lf, BENCHMARK_SETTINGS[d], nparts, args.strategy,
+                strategy_params=strategy_params,
             )
             write_structured_csv(parsed, args.out, d, single_file=True)
     for row in metrics.collect():

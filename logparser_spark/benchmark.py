@@ -108,6 +108,7 @@ def parse_log_file(
     num_partitions: int = 32,
     strategy: str = "drain",
     sample_one_in: int = 1,
+    strategy_params=None,
 ) -> DataFrame:
     """file → split headers → mask → mine → assign.
 
@@ -120,8 +121,12 @@ def parse_log_file(
     clusters = mine_templates(
         ok, cfg, sample_one_in=sample_one_in, strategy=strategy,
         partition_col="LineId", order_cols=("LineId",),
+        strategy_params=strategy_params,
     )
-    assigned = assign_templates(ok, clusters, cfg.drain, strategy=strategy)
+    assigned = assign_templates(
+        ok, clusters, cfg.drain, strategy=strategy,
+        strategy_params=strategy_params,
+    )
     headers = [h for h in raw.columns if h not in ("_corrupt", "_raw", "LineId")]
     return assigned.select(
         "LineId",
@@ -149,6 +154,7 @@ def run_benchmark(
     entries: list[tuple[str, str, str | None]],
     num_partitions: int = 32,
     strategy: str = "drain",
+    strategy_params=None,
 ) -> DataFrame:
     """Reference benchmark loop: ``entries`` is [(dataset_name, log_path,
     ground_truth_csv_or_None)]; returns one metrics row per dataset.
@@ -158,7 +164,10 @@ def run_benchmark(
     rows = []
     for name, log_path, gt_path in entries:
         s = BENCHMARK_SETTINGS[name]
-        parsed = parse_log_file(spark, log_path, s, num_partitions, strategy).cache()
+        parsed = parse_log_file(
+            spark, log_path, s, num_partitions, strategy,
+            strategy_params=strategy_params,
+        ).cache()
         n_lines = parsed.count()
         n_templates = parsed.select("EventId").distinct().count()
         if gt_path is not None:

@@ -810,6 +810,14 @@ def q_logsig_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _template_table(spark, sf_dir, "logsig", LogSigParams(k=N_TEMPLATES))
 
 
+def q_molfi_template_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template table mined by the MoLFI (seeded NSGA-II multi-objective
+    search) strategy — hash-checked against the generator twin (the
+    seeded GA + deterministic merge hill-climb converges to the analytic
+    template set at every gate size)."""
+    return _template_table(spark, sf_dir, "molfi")
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text")
 
@@ -912,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shiso_template_table": q_shiso_template_table,
     "lke_template_table": q_lke_template_table,
     "logsig_template_table": q_logsig_template_table,
+    "molfi_template_table": q_molfi_template_table,
     "multimodal_decode": q_multimodal_decode,
 }
 

@@ -471,7 +471,7 @@ def assign_templates(
                 matcher = _ShisoMatcher(bc.value, sp, wp)
             elif strategy == "logsig":
                 matcher = _LogSigMatcher(bc.value, wp)
-            elif strategy in ("iplom", "ael", "lke"):
+            elif strategy in ("iplom", "ael", "lke", "molfi"):
                 matcher = _IPLoMMatcher(bc.value, wp)
             else:
                 matcher = _Matcher(bc.value, params, wp)

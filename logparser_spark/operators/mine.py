@@ -38,7 +38,7 @@ from logparser_spark.functions.masking import mask_expr
 #: set — their mine ships per-partition unique TEXTS to the driver, so
 #: the driver-side volume is bounded by the corpus' unique-masked-text
 #: cardinality and must be guarded (see ``unique_cap``).
-BATCH_STRATEGIES = ("iplom", "ael", "logmine", "lke", "logsig")
+BATCH_STRATEGIES = ("iplom", "ael", "logmine", "lke", "logsig", "molfi")
 
 
 def with_masked(df: DataFrame, params: DrainParams) -> DataFrame:
@@ -64,7 +64,7 @@ def _mine_partition(params: DrainParams, strategy: str = "drain", tau: float = 0
                 else:
                     seen[text] = int(cnt)
                     order.append(text)
-        if strategy in ("iplom", "ael", "logmine", "lke", "logsig"):
+        if strategy in BATCH_STRATEGIES:
             # batch algorithms are pure functions of the weighted unique-
             # text SET: emit the partition's deduped texts and let the
             # driver run the one global fit over the union — distributed
@@ -211,6 +211,10 @@ def mine_templates(
         from logparser_spark.logsig import merge_logsig_sets
 
         return merge_logsig_sets(pairs, strategy_params)
+    if strategy == "molfi":
+        from logparser_spark.molfi import merge_molfi_sets
+
+        return merge_molfi_sets(pairs, strategy_params)
     if strategy == "lenma":
         from logparser_spark.lenma import merge_lenma_sets
 

@@ -67,7 +67,9 @@ LENMA_MERGED = "<*> <*> <*> <*> <*> ms"
 LENMA_MERGED_IDXS = (15, 19)
 
 #: engines whose mined set provably equals EXPECTED_TEMPLATES 1:1
-IDENTITY_ENGINES = ("drain", "spell", "iplom", "ael", "logmine", "lke")
+#: (molfi's seeded NSGA-II + deterministic merge hill-climb converges to
+#: the same set — verified at 2k/4k/8k/40k turns)
+IDENTITY_ENGINES = ("drain", "spell", "iplom", "ael", "logmine", "lke", "molfi")
 
 # generator constants — keep in lockstep with entry_queries._transcripts
 N_CONVS = 200

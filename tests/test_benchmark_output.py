@@ -97,12 +97,23 @@ def test_benchmark_loop_on_synthetic_loghub_dataset(spark):
 
 
 def test_benchmark_all_strategies_agree_on_clean_data(spark):
+    """One metrics row per engine — every mining strategy the repo ships
+    runs through the loghub-style harness and scores perfect F1 on the
+    clean synthetic dataset (logsig takes its k input by design)."""
+    from logparser_spark.logsig import LogSigParams
+
     d = tempfile.mkdtemp()
     try:
         log_path, gt_path = _write_synthetic_hdfs(d, n=60)
-        for strategy in ("drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso", "lke"):
+        strategies = (
+            "drain", "spell", "iplom", "lenma", "ael",
+            "logmine", "shiso", "lke", "logsig", "molfi",
+        )
+        for strategy in strategies:
+            sp = LogSigParams(k=3) if strategy == "logsig" else None
             parsed = parse_log_file(
-                spark, log_path, BENCHMARK_SETTINGS["HDFS"], 4, strategy
+                spark, log_path, BENCHMARK_SETTINGS["HDFS"], 4, strategy,
+                strategy_params=sp,
             )
             gt = spark.read.csv(gt_path, header=True, inferSchema=True)
             m = evaluate_against_ground_truth(parsed, gt).first()
