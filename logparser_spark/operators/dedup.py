@@ -220,41 +220,39 @@ def simhash_df(
     n-gram shingles are near-unique per doc, so unrelated fingerprints
     are independent and band collisions are rare.
 
-    Plan shape: md5 is computed ONCE per shingle; all ``bits`` bit-counts
-    accumulate in a single array-typed ``aggregate`` pass, then the
-    fingerprint is assembled from the materialized count array in a second
-    projection (keeps the md5 work out of the per-bit expressions).
+    Plan shape (VERDICT r2 #7 — rebuilt in exploded-row form, the repo's
+    own HOF lesson): shingles EXPLODE to rows, md5 runs once per shingle
+    row inside whole-stage codegen, the ``bits`` per-bit counts are plain
+    ``sum`` aggregates (map-side partial combine, one shuffle of
+    ``bits`` longs per doc), and the fingerprint assembles from the
+    aggregated counts in a final projection.  The previous
+    ``transform``/``aggregate``/``zip_with`` higher-order-function form
+    evaluated the md5-heavy lambdas interpreted, outside codegen —
+    measured 1.5–2× slower at sf0.1 (BENCH/BASELINE.md r3 note).
     Pure native expressions, engine-portable (md5-based).
     """
     hex_chars = (bits + 3) // 4
     toks = shingles_expr(text_col, shingle_n)
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long")
-    )
-    staged = df.select(
-        F.col(id_col),
-        F.size(toks).alias("_n"),
-        F.aggregate(
-            hashes,
-            F.array_repeat(F.lit(0).cast("long"), bits),
-            lambda acc, h: F.zip_with(
-                acc,
-                F.array(*[F.shiftright(h, j).bitwiseAND(F.lit(1)) for j in range(bits)]),
-                lambda a, b: a + b,
-            ),
-        ).alias("_cnt"),
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_sh"))
+    h = F.conv(F.substring(F.md5(F.col("_sh")), 1, hex_chars), 16, 10).cast("long")
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
+            for j in range(bits)
+        ],
     )
     fp: Column | None = None
     for j in range(bits):
         term = (
             F.when(
-                F.element_at(F.col("_cnt"), j + 1) * 2 >= F.col("_n"),
+                F.col(f"_c{j}") * 2 >= F.col("_n"),
                 F.lit(1 << j).cast("long"),
             )
             .otherwise(F.lit(0).cast("long"))
         )
         fp = term if fp is None else fp.bitwiseOR(term)
-    return staged.select(F.col(id_col), fp.alias("simhash"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_dedup(
