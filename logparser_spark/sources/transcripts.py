@@ -121,16 +121,27 @@ def _format_args(tpl_idx: int, tool: str, p: tuple[int, ...]):
     return table[tpl_idx]
 
 
-def transcripts_pdf(n_turns: int, n_convs: int = 100, skew_share_pct: int = 0) -> pd.DataFrame:
-    """Pandas mirror of :func:`transcripts_df` (oracle tests only)."""
+def transcripts_pdf(
+    n_turns: int, n_convs: int = 100, skew_share_pct: int = 0, t_start: int = 0
+) -> pd.DataFrame:
+    """Pandas mirror of :func:`transcripts_df` (oracle tests only).
+
+    ``t_start`` shifts the global turn-number window (overflow-boundary
+    tests run the same arithmetic at t ≈ 2³⁸)."""
     rows = []
-    for t in range(n_turns):
+    for t in range(t_start, t_start + n_turns):
         conv, turn_idx = _conv_turn(t, n_turns, n_convs, skew_share_pct)
         role = ROLES[t % 4]
         tool = TOOLS[(t // 4) % 4] if role == "tool" else ""
         tpl_idx = (t * 7 + conv) % N_TEMPLATES
         text = _render_text_py(tpl_idx, tool, _params_for(t))
         ts = EPOCH_2024 + turn_idx * 60 + conv % 37
+        try:
+            ts_val = pd.Timestamp(ts, unit="s")
+        except (OverflowError, pd.errors.OutOfBoundsDatetime):
+            # mirror-only limit: pandas ns-epoch caps at year ~2262;
+            # overflow-boundary tests (t ≈ 2³⁸) compare non-ts columns
+            ts_val = pd.NaT
         rows.append(
             {
                 "conv_id": f"conv{conv:06d}",
@@ -138,7 +149,7 @@ def transcripts_pdf(n_turns: int, n_convs: int = 100, skew_share_pct: int = 0) -
                 "role": role,
                 "text": text,
                 "tool": tool,
-                "ts": pd.Timestamp(ts, unit="s"),
+                "ts": ts_val,
             }
         )
     df = pd.DataFrame(rows)
@@ -152,9 +163,15 @@ def transcripts_df(
     n_convs: int = 100,
     skew_share_pct: int = 0,
     num_partitions: int | None = None,
+    t_start: int = 0,
 ) -> DataFrame:
     """Distributed generator: pure native expressions over ``spark.range``."""
-    df = spark.range(0, n_turns, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    df = spark.range(
+        t_start,
+        t_start + n_turns,
+        1,
+        num_partitions or spark.sparkContext.defaultParallelism,
+    )
     t = F.col("id")
     skew_cut = F.lit(n_turns * skew_share_pct // 100)
     n_rest = F.lit(max(n_convs - 1, 1))

@@ -41,6 +41,29 @@ def test_generator_matches_pandas_mirror(spark, tdf):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_generator_overflow_boundary_t_2pow38(spark):
+    """ADVICE r2 #9: the mod-reduced multiplies in the parameter
+    derivation claim 64-bit safety for t < 2³⁹; pin Spark==pandas
+    bit-equality for a window at t ≈ 2³⁸ (python ints never wrap, so any
+    Spark-side int64 wrap would break equality).  ``ts`` is excluded:
+    turn_idx*60 s at this t exceeds pandas' ns-epoch range — a mirror
+    limitation, not a generator one.  n_convs is 200 (not the suite's
+    40) so dense per-conv turn_idx ≈ 2³⁸/199 stays inside the schema's
+    declared int32 — at real 10¹²-turn scale conv counts are in the
+    millions; Spark correctly *refuses* (CAST_OVERFLOW, ANSI) rather
+    than wraps when a generator parameterization breaks that bound."""
+    t0 = 1 << 38
+    convs = 200
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    got = _sorted(
+        transcripts_df(spark, 2000, convs, SKEW, t_start=t0).select(*cols).toPandas()
+    )
+    want = _sorted(transcripts_pdf(2000, convs, SKEW, t_start=t0)[cols + ["ts"]])[cols]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_mined_template_set_equals_oracle(spark, tdf, oracle):
     _, oracle_clusters = oracle
     mined = mine_templates(tdf, PipelineConfig(num_partitions=8))
