@@ -67,7 +67,15 @@ def build_spark(cpus: int, executors: int = 0):
     """
     from pyspark.sql import SparkSession
 
-    exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", "16384"))
+    if executors:
+        # local-cluster is standalone mode: Worker JVMs OVERRIDE
+        # spark.local.dir with SPARK_LOCAL_DIRS (Spark warns about it),
+        # so without this env the executors shuffle to /tmp — the one
+        # block device — while single-JVM legs shuffle to tmpfs, and the
+        # 16-slot leg dies of disk contention exactly where shuffle
+        # volume is highest (measured: assign+route leg 2x slower).
+        os.environ["SPARK_LOCAL_DIRS"] = _local_dirs()
+    exec_mem_mb = int(os.environ.get("SPARK_EXEC_MEM_MB", str(max(cpus, 1) * 4096)))
     total = cpus * executors if executors else cpus
     master = (
         f"local-cluster[{executors},{cpus},{exec_mem_mb}]"
@@ -126,7 +134,8 @@ def _warmup(spark, parts: int) -> float:
 
 
 def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
-              pipeline_only: bool = False, executors: int = 0) -> dict:
+              pipeline_only: bool = False, executors: int = 0,
+              repeats: int = 3, input_parquet: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from logparser_spark.config import PipelineConfig
@@ -161,27 +170,54 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
     cfg = PipelineConfig(num_partitions=parts)
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    def timed(name: str, fn, repeats: int = 3):
-        """Best-of-N wall time. The sandbox host shows sporadic
-        noisy-neighbor stalls (identical jobs vary 4-30s with idle guest
-        CPU and no Spark warnings); the minimum reflects true engine
-        cost. Each repeat re-executes the full action."""
-        best = None
+    def timed(name: str, fn, n: int = 0):
+        """Best-of-N wall time, ALL samples recorded (VERDICT r2 #6: a
+        single host stall must not be able to poison the recorded JSON —
+        the sandbox shows sporadic noisy-neighbor stalls where identical
+        jobs vary 4-30 s with idle guest CPU and no Spark warnings; the
+        minimum reflects true engine cost, the spread shows the noise).
+        Each repeat re-executes the full action inside the same JVM."""
         out = None
-        for _ in range(repeats):
+        runs: list[float] = []
+        for _ in range(n or repeats):
             t0 = time.time()
             out = fn()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
         return out
 
     # materialize the input once so parse timing excludes generation
     tdf = transcripts_df(spark, n_turns, n_convs=max(n_turns // 500, 8),
                          skew_share_pct=20, num_partitions=cfg.num_partitions)
-    tdf = tdf.cache()
-    tdf.count()
+    in_dir = None
+    if input_parquet:
+        # scaling legs: write the input to tmpfs parquet and re-read it.
+        # Caching would bias the N-vs-4N ratio (one small executor cannot
+        # hold what 4 can; a partially-cached leg silently re-generates),
+        # and a real job reads its input from storage anyway.
+        in_dir = tempfile.mkdtemp(prefix="bench_input_", dir=_local_dirs())
+        tdf.write.mode("overwrite").parquet(in_dir)
+        # size scan splits to the target parallelism: the default 128 MB
+        # maxPartitionBytes turns a ~400 MB input into 3 splits and
+        # starves every core past the 4th (observed: 16-core leg slower
+        # than 4-core). On a real cluster the 100 TB input has plenty of
+        # splits; here the split size must follow the input size.
+        nbytes = sum(
+            os.path.getsize(os.path.join(in_dir, f))
+            for f in os.listdir(in_dir)
+            if f.endswith(".parquet")
+        )
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(nbytes // parts + 1, 1 << 20)),
+        )
+        tdf = spark.read.parquet(in_dir)
+    else:
+        tdf = tdf.cache()
+        tdf.count()
     warmup_sec = _warmup(spark, cfg.num_partitions)
 
     # headline: full parse -> enrich -> route(write) -> aggregate
@@ -206,6 +242,8 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+        if in_dir:
+            shutil.rmtree(in_dir, ignore_errors=True)
     pipeline_sec = (
         timings["parse_mine"]
         + timings["assign_enrich_route_write"]
@@ -216,12 +254,12 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
 
     # other heavy operators at the SF tables
     if not pipeline_only:
-        timed("token_frequency", lambda: _noop_write(q_token_frequency(spark, sf_dir)), 2)
-        timed("windowed_counts", lambda: _noop_write(q_windowed_counts(spark, sf_dir)), 2)
-        # 3 repeats: the first execution pays whole-stage codegen compile
-        # for the wide md5 chain (~4 s one-time), best-of-3 reads warm
-        timed("minhash_lsh", lambda: _noop_write(q_lsh_candidates(spark, sf_dir)), 3)
-        timed("knn_bruteforce", lambda: _noop_write(q_knn_bruteforce(spark, sf_dir)), 2)
+        timed("token_frequency", lambda: _noop_write(q_token_frequency(spark, sf_dir)))
+        timed("windowed_counts", lambda: _noop_write(q_windowed_counts(spark, sf_dir)))
+        # first execution pays whole-stage codegen compile for the wide
+        # md5 chain (~4 s one-time), later repeats read warm
+        timed("minhash_lsh", lambda: _noop_write(q_lsh_candidates(spark, sf_dir)))
+        timed("knn_bruteforce", lambda: _noop_write(q_knn_bruteforce(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -238,13 +276,39 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
         "pipeline_sec": round(pipeline_sec, 3),
         "throughput_turns_per_sec": round(throughput, 1),
         "warmup_sec": warmup_sec,
+        "samples": samples,
+        "repeats": repeats,
     }
     spark.stop()
     return result
 
 
+def _drain_jvms(timeout_s: int = 150) -> None:
+    """Wait for stray Spark JVMs to exit before starting a leg.
+
+    local-cluster worker/executor JVMs outlive the leg's python process
+    by up to ~2 min (executors detect driver death via heartbeat
+    timeouts, not process exit), and a next leg started inside that
+    window measures their shutdown, not the engine — observed: the 4x4
+    leg's assign stage at 86 s vs 18 s solo.  Poll until quiet, then
+    hard-kill whatever remains.
+    """
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        out = subprocess.run(
+            ["pgrep", "-f", "org.apache.spark"], capture_output=True, text=True
+        )
+        if not out.stdout.strip():
+            return
+        time.sleep(2)
+    subprocess.run(["pkill", "-9", "-f", "org.apache.spark"], capture_output=True)
+    time.sleep(3)
+
+
 def run_scaling(sf_dir: str, n_small: int = 4, n_big: int = 16,
-                n_turns: int = 4_000_000, cluster: bool = False) -> dict:
+                n_turns: int = 4_000_000, cluster: bool = False,
+                repeats: int = 3, exec_cores: int = 0,
+                execs_small: int = 1) -> dict:
     """Same job at two parallelism levels → throughput + efficiency.
 
     ``cluster=False``: single-JVM local[4] vs local[16] (N vs 4N cores in
@@ -260,18 +324,32 @@ def run_scaling(sf_dir: str, n_small: int = 4, n_big: int = 16,
     three workers to a one-worker cluster does, minus the NICs.
     """
     results = {}
-    legs = (
-        [("small", ["--cpus", str(n_small)]), ("big", ["--cpus", str(n_big)])]
-        if not cluster
-        else [
-            ("small", ["--cpus", str(n_small), "--executors", "1"]),
-            ("big", ["--cpus", str(n_small), "--executors", str(n_big // n_small)]),
+    if cluster:
+        # executor shape: `exec_cores`-core executors, execs_small of
+        # them on the small leg and 4x that on the big leg — the literal
+        # "N vs 4N executors" pairing of the north rule.  Default
+        # (exec_cores=n_small, execs_small=1) is the r2 1x4 -> 4x4 pair;
+        # --exec-cores 2 --execs-small 2 measures 2x2 -> 8x2, the
+        # many-small-JVMs regime the interference experiment showed this
+        # box sustains at 0.93.
+        ec = exec_cores or n_small
+        n_small = ec * execs_small
+        n_big = n_small * 4
+        legs = [
+            ("small", ["--cpus", str(ec), "--executors", str(execs_small)]),
+            ("big", ["--cpus", str(ec), "--executors", str(execs_small * 4)]),
         ]
-    )
+    else:
+        legs = [
+            ("small", ["--cpus", str(n_small)]),
+            ("big", ["--cpus", str(n_big)]),
+        ]
     for tag, leg_args in legs:
+        _drain_jvms()
         proc = subprocess.run(
             [sys.executable, __file__, *leg_args, "--sf-dir", sf_dir,
-             "--turns", str(n_turns), "--pipeline-only"],
+             "--turns", str(n_turns), "--pipeline-only",
+             "--repeats", str(repeats), "--input-parquet"],
             capture_output=True, text=True, cwd=REPO,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -317,9 +395,11 @@ def run_interference(sf_dir: str, cpus: int = 4, n_legs: int = 4,
             [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
         )
 
+    _drain_jvms()
     solo = parse(subprocess.run(
         leg_cmd, capture_output=True, text=True, cwd=REPO, env=env
     ).stdout)
+    _drain_jvms()
     procs = [
         subprocess.Popen(leg_cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True, cwd=REPO, env=env)
@@ -353,13 +433,21 @@ if __name__ == "__main__":
     ap.add_argument("--turns", type=int, default=0)
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--executors", type=int, default=0)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--input-parquet", action="store_true")
+    ap.add_argument("--exec-cores", type=int, default=0)
+    ap.add_argument("--execs-small", type=int, default=1)
     args = ap.parse_args()
     if args.scaling or args.cluster_scaling:
         print(json.dumps(run_scaling(args.sf_dir, n_turns=args.turns or 4_000_000,
-                                     cluster=args.cluster_scaling)))
+                                     cluster=args.cluster_scaling,
+                                     repeats=args.repeats,
+                                     exec_cores=args.exec_cores,
+                                     execs_small=args.execs_small)))
     elif args.interference:
         print(json.dumps(run_interference(
             args.sf_dir, n_turns=args.turns or 8_000_000)))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns,
-                                   args.pipeline_only, args.executors)))
+                                   args.pipeline_only, args.executors,
+                                   args.repeats, args.input_parquet)))
