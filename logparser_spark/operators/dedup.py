@@ -228,7 +228,8 @@ def simhash_df(
     aggregated counts in a final projection.  The previous
     ``transform``/``aggregate``/``zip_with`` higher-order-function form
     evaluated the md5-heavy lambdas interpreted, outside codegen —
-    measured 1.5–2× slower at sf0.1 (BENCH/BASELINE.md r3 note).
+    measured 1.33× slower on 80 k sf0.1 docs, identical fingerprints
+    (BENCH/BASELINE.md r3 note).
     Pure native expressions, engine-portable (md5-based).
     """
     hex_chars = (bits + 3) // 4
