@@ -30,7 +30,14 @@ def main() -> None:
     ap.add_argument("--num-partitions", type=int, default=0)
     ap.add_argument("--checkpoint-buckets", type=int, default=0)
     ap.add_argument("--strategy", default="drain",
-                    choices=["drain", "spell", "iplom", "lenma", "ael", "logmine", "shiso", "lke"])
+                    choices=["drain", "spell", "iplom", "lenma", "ael",
+                             "logmine", "shiso", "lke", "molfi"])
+    ap.add_argument("--stream", action="store_true",
+                    help="continuous-ingest mode: mine templates from a batch "
+                         "read of --input, then run the streaming "
+                         "assign → route fan-out → windowed counts over it "
+                         "(availableNow trigger; checkpoints under <out>/_ckpt "
+                         "make re-runs resume, not recompute)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +64,54 @@ def main() -> None:
         transcripts = spark.read.parquet(args.input)
     else:
         raise SystemExit("need --input or --synthetic-turns")
+
+    if args.stream:
+        if not args.input:
+            raise SystemExit("--stream needs --input (a parquet directory source)")
+        from logparser_spark.operators.mine import mine_templates
+        from logparser_spark.streaming.stream import (
+            read_transcript_stream,
+            streaming_assign,
+            streaming_route_write,
+            streaming_sink_counts,
+        )
+
+        # mine-offline/assign-online: the template KB is fit once from a
+        # batch read (optionally sampled), then frozen into the stream
+        clusters = mine_templates(
+            transcripts, cfg, sample_one_in=args.mine_sample_one_in,
+            strategy=args.strategy,
+        )
+        routed = streaming_assign(
+            read_transcript_stream(spark, args.input), clusters, cfg
+        )
+        q_route = streaming_route_write(
+            routed, f"{args.out}/routed", f"{args.out}/_ckpt/route", cfg
+        )
+        agg_path = f"{args.out}/agg_sink_window"
+        q_agg = (
+            streaming_sink_counts(routed, cfg)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", agg_path)
+            .option("checkpointLocation", f"{args.out}/_ckpt/agg")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_route.awaitTermination()
+        q_agg.awaitTermination()
+        print(
+            json.dumps(
+                {
+                    "mode": "stream",
+                    "routed_rows": spark.read.parquet(f"{args.out}/routed").count(),
+                    "n_templates": len(clusters),
+                    "agg_path": agg_path,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     result = run_pipeline(
         spark, transcripts, args.out, cfg,

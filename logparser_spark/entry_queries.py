@@ -24,6 +24,9 @@ from logparser_spark.operators import textstats as TS
 from logparser_spark.operators.aggregate import salted_agg, sink_window_counts
 from logparser_spark.operators.assign import assign_templates
 from logparser_spark.operators.dedup import (
+    dedup_keep_canonical,
+    duplicate_clusters,
+    duplicate_clusters_sql,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -451,6 +454,35 @@ SQL_JACCARD_VERIFIED = (
     "FROM pairs JOIN cand USING (id_a, id_b) "
     "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
     "WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.99"
+)
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the verified near-dup
+    pairs (min-label propagation), labeling every clustered doc with its
+    component's canonical (min) id."""
+    verified = q_jaccard_verified(spark, sf_dir)
+    return duplicate_clusters(verified).select(
+        F.col("member_id").alias("doc_id"), "cluster_id"
+    )
+
+
+SQL_DUP_CLUSTERS = duplicate_clusters_sql(SQL_JACCARD_VERIFIED)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resolved corpus: docs-with-dups minus every clustered
+    non-canonical member — the end product a training-data dedup pass
+    actually ships."""
+    docs = _docs_with_dups(spark, sf_dir)
+    clusters = duplicate_clusters(q_jaccard_verified(spark, sf_dir))
+    return dedup_keep_canonical(docs, clusters, "doc_id").select("doc_id")
+
+
+SQL_DEDUP_CANONICAL = (
+    f"SELECT d.doc_id FROM {DOCS_WITH_DUPS_SQL} d "
+    f"WHERE NOT EXISTS (SELECT 1 FROM ({SQL_DUP_CLUSTERS}) c "
+    "WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)"
 )
 
 
@@ -890,6 +922,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_candidates": q_lsh_candidates,
     "jaccard_pairs": q_jaccard_pairs,
     "jaccard_verified": q_jaccard_verified,
+    "dup_clusters": q_dup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -940,6 +974,8 @@ ORACLES: dict[str, str] = {
     "lsh_candidates": SQL_LSH_CANDS,
     "jaccard_pairs": SQL_JACCARD,
     "jaccard_verified": SQL_JACCARD_VERIFIED,
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     "simhash_candidates": SQL_SIMHASH,
     "ann_corpus_neighbors": SQL_ANN_CORPUS,
     "ann_lsh_topk": SQL_ANN_LSH,

@@ -354,3 +354,102 @@ SELECT DISTINCT a.did AS id_a, b.did AS id_b,
 FROM bo a JOIN bo b USING (band, band_val)
 WHERE a.did < b.did AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# -- duplicate-cluster resolution --------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components of the undirected pair graph, labeled by the component's
+    minimum member id.
+
+    Returns one row per doc that appears in any pair:
+    ``(member_id, cluster_id)`` with ``cluster_id = min(member ids of the
+    component)`` — so the canonical keeper of each cluster is the row
+    where ``member_id == cluster_id``.
+
+    Algorithm: iterative min-label propagation (the MapReduce-CC family;
+    cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14).  Each round every node takes the min of its own label and
+    its neighbors' labels; convergence needs O(component diameter)
+    rounds.  Near-dup graphs are dense little cliques plus short chains
+    (diameter almost always ≤ 4), so this converges in a handful of
+    rounds; ``max_iters`` is a hard stop for adversarial chain graphs,
+    where the two-phase large-star/small-star variant (same paper) would
+    be the upgrade path.
+
+    Scale shape: per round one shuffle (edge join on ``src``) + one
+    min-aggregate — no collect, no driver-side graph.  The label frame is
+    ``localCheckpoint``-ed every round to truncate the iterative lineage
+    (Spark's plan would otherwise grow linearly in rounds); on a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint`` for executor-loss safety.  Labels are monotone
+    non-increasing, so "no label decreased" is an exact fixpoint test.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        upd = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        labels = upd.select("node", "label")
+        if upd.filter(F.col("label") < F.col("_old")).count() == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's canonical keeper
+    (the min-id member).  Docs in no cluster pass through untouched —
+    this is the "resolved corpus" end of the dedup pipeline:
+    pairs → :func:`duplicate_clusters` → keep-canonical."""
+    losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_clusters_sql(pairs_sql: str, out_id: str = "doc_id") -> str:
+    """DuckDB twin of :func:`duplicate_clusters`: reachability closure by
+    recursive CTE, then min label per node.  ``pairs_sql`` must produce
+    ``(id_a, id_b)`` (extra columns ignored)."""
+    return (
+        "WITH RECURSIVE verified AS (" + pairs_sql + "), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM verified "
+        "UNION SELECT id_b, id_a FROM verified), "
+        "walk(node, lbl) AS (SELECT src, src FROM e "
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node) "
+        f"SELECT node AS {out_id}, min(lbl) AS cluster_id FROM walk GROUP BY node"
+    )

@@ -163,6 +163,50 @@ def streaming_sessionize(
     )
 
 
+def streaming_route_write(
+    routed: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig | None = None,
+    available_now: bool = True,
+):
+    """Streaming sibling of batch ``operators.route.route_write``:
+    continuous one-pass fan-out of routed rows into per-sink parquet
+    directories.
+
+    Same plan shape as the batch writer: rows cluster by
+    ``(sink_id, hash(conv_id, turn_idx) sub-bucket)`` before the
+    partitioned sink, so each micro-batch task writes ~1 sink directory
+    (files per trigger scale with tasks, not tasks × sinks) and a
+    dominant conversation cannot pin one write task.  The
+    ``checkpointLocation`` gives exactly-once parquet appends per
+    micro-batch; restarting from the same checkpoint skips committed
+    batches — the streaming analog of the batch resume ledger.
+    """
+    cfg = cfg or PipelineConfig()
+    df = routed
+    if "sink_id" not in df.columns:
+        df = with_sink_id(df, cfg)
+    if "masked" in df.columns:
+        df = df.drop("masked")
+    sub_buckets = max(cfg.num_partitions // 8, 1)
+    clustered = df.repartition(
+        cfg.num_partitions,
+        F.col("sink_id"),
+        F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
+    )
+    writer = (
+        clustered.writeStream.outputMode("append")
+        .format(cfg.sink_format)
+        .partitionBy("sink_id")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     in_path: str,

@@ -178,3 +178,78 @@ def test_ann_lsh_recall_against_exact(spark, emb):
     assert recall >= 0.3
     # approximate results are always real cosine scores from the corpus
     assert ((approx["sim"] <= 1.000001) & (approx["sim"] >= -1.000001)).all()
+
+
+# -- duplicate-cluster resolution --------------------------------------------
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+
+def test_duplicate_clusters_components_and_canonical_labels(spark):
+    from logparser_spark.operators.dedup import duplicate_clusters
+
+    # chain {1,2,3}, pair {10,11}, clique {20,21,22} given in mixed order
+    pairs = _pairs(
+        spark,
+        [(2, 3), (1, 2), (10, 11), (21, 20), (22, 20), (21, 22)],
+    )
+    got = {
+        (r["member_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_duplicate_clusters_long_chain_needs_iterations(spark):
+    from logparser_spark.operators.dedup import duplicate_clusters
+
+    # a path 0-1-2-...-9: diameter 9 forces several propagation rounds
+    pairs = _pairs(spark, [(i, i + 1) for i in range(9)])
+    got = duplicate_clusters(pairs)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == 10
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from logparser_spark.operators.dedup import duplicate_clusters
+
+    assert duplicate_clusters(_pairs(spark, [])).count() == 0
+
+
+def test_dedup_keep_canonical_resolves_corpus(spark, docs_with_dups):
+    from logparser_spark.operators.dedup import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+    )
+    from logparser_spark.entry_queries import (
+        N_MINHASHES,
+        ROWS_PER_BAND,
+        SHINGLE_N,
+    )
+
+    cands = lsh_candidate_pairs(
+        docs_with_dups, "doc_id", "text", N_MINHASHES, ROWS_PER_BAND, SHINGLE_N
+    )
+    verified = jaccard_pairs(
+        docs_with_dups, "doc_id", "text", 0.99, SHINGLE_N, candidates=cands
+    )
+    clusters = duplicate_clusters(verified)
+    kept = dedup_keep_canonical(docs_with_dups, clusters, "doc_id")
+    n_docs = docs_with_dups.count()
+    n_losers = clusters.filter("member_id <> cluster_id").count()
+    assert kept.count() == n_docs - n_losers
+    # the keeper of every cluster survives, every loser is gone
+    keepers = clusters.filter("member_id = cluster_id").select(
+        F.col("member_id").alias("doc_id")
+    )
+    assert keepers.join(kept, "doc_id", "left_anti").count() == 0
+    losers = clusters.filter("member_id <> cluster_id").select(
+        F.col("member_id").alias("doc_id")
+    )
+    assert kept.join(losers, "doc_id", "left_semi").count() == 0

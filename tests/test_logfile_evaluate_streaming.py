@@ -17,7 +17,7 @@ from logparser_spark.operators.evaluate import grouping_accuracy, grouping_accur
 from logparser_spark.operators.mine import mine_templates
 from logparser_spark.sources.logfile import compile_log_format, read_log_file
 from logparser_spark.sources.transcripts import transcripts_df
-from logparser_spark.streaming.stream import run_streaming_pipeline
+from logparser_spark.streaming.stream import TRANSCRIPT_SCHEMA, run_streaming_pipeline
 
 LOG_FORMAT = "<Date> <Time> <Pid> <Level> <Component>: <Content>"
 LINES = [
@@ -379,5 +379,62 @@ def test_streaming_pipeline_matches_batch(spark):
         )
         assert merged.count() == got.count()
         assert merged.filter("n_turns <> n_batch").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_route_write_matches_batch_and_resumes(spark):
+    """Streaming fan-out == batch route_write row-for-row (same sinks,
+    same rows), and restarting from the same checkpoint over an unchanged
+    source appends nothing (exactly-once per committed micro-batch)."""
+    from logparser_spark.operators.route import route_write
+    from logparser_spark.streaming.stream import (
+        streaming_assign,
+        streaming_route_write,
+    )
+
+    cfg = PipelineConfig(num_partitions=4)
+    tdf = transcripts_df(spark, 2000, 20, 0)
+    clusters = mine_templates(tdf, cfg)
+
+    d = tempfile.mkdtemp()
+    try:
+        in_path, s_out, b_out, ckpt = (
+            os.path.join(d, x) for x in ("in", "sout", "bout", "ckpt")
+        )
+        tdf.write.parquet(in_path)
+
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_path)
+        q = streaming_route_write(streaming_assign(stream, clusters, cfg), s_out, ckpt)
+        q.awaitTermination(120)
+
+        batch_routed = streaming_assign(spark.read.parquet(in_path), clusters, cfg)
+        route_write(batch_routed, b_out, cfg)
+
+        got = spark.read.parquet(s_out)
+        want = spark.read.parquet(b_out)
+        assert sorted(got.columns) == sorted(want.columns)
+        cols = sorted(got.columns)
+        assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+        assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+        # per-sink directory layout matches (incl. dead if any)
+        sinks = lambda p: {  # noqa: E731
+            n for n in os.listdir(p) if n.startswith("sink_id=")
+        }
+        assert sinks(s_out) == sinks(b_out)
+
+        # resume: same checkpoint, unchanged source → no new rows
+        n = got.count()
+        q2 = streaming_route_write(
+            streaming_assign(
+                spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_path),
+                clusters,
+                cfg,
+            ),
+            s_out,
+            ckpt,
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(s_out).count() == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
