@@ -123,13 +123,24 @@ def _warmup(spark, parts: int) -> float:
     t0 = time.time()
 
     def trivial(batches):
+        # the sleep is the point: instant tasks let one worker per
+        # executor drain every partition serially, so most workers never
+        # fork until the FIRST MEASURED repeat (observed: big-leg sample
+        # 1 at 2.3x sample 3). Holding each task ~1 s forces every slot
+        # concurrently busy -> every worker forks + imports here instead.
         n = 0
         for b in batches:
             n += len(b)
+        time.sleep(1.0)
         yield pd.DataFrame({"n": [n]})
 
     df = spark.range(0, parts * 10, 1, parts)
     df.mapInPandas(trivial, "n long").collect()
+    # the scalar pandas_udf path (assign) JITs separately from mapInPandas
+    from pyspark.sql import functions as F
+
+    _one = F.pandas_udf(lambda s: s * 0 + 1, "long")
+    df.select(_one(F.col("id"))).write.format("noop").mode("overwrite").save()
     return round(time.time() - t0, 3)
 
 
@@ -229,8 +240,14 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
     # Iceberg) scales with executors; a single local block device does not,
     # so RAM-backed output isolates compute scaling from the one disk.
     out_dir = tempfile.mkdtemp(prefix="bench_route_", dir=_local_dirs())
+    # SPARK_GRAFT_TPLMAP=1 -> ship NULL templates through the write-side
+    # shuffle, re-derive post-shuffle from the broadcast KB (A/B lever)
+    tpl_kb = mined if os.environ.get("SPARK_GRAFT_TPLMAP") == "1" else None
     try:
-        timed("assign_enrich_route_write", lambda: route_write(routed, out_dir, cfg))
+        timed(
+            "assign_enrich_route_write",
+            lambda: route_write(routed, out_dir, cfg, templates=tpl_kb),
+        )
         back = spark.read.parquet(out_dir)
         timed(
             "aggregate_sink_windows",

@@ -693,6 +693,32 @@ def q_lfa_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lfa_template_counts(_t(spark, sf_dir, "documents"), "doc_id", "text", 10)
 
 
+def q_slct_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLCT (S6): two-level support thresholding — frequent (pos, word)
+    pairs form cluster candidates, candidates over the support become
+    clusters, the rest are outliers. is_outlier is cast to int so the
+    hash gate never compares engine boolean renderings."""
+    from logparser_spark.operators.slct import slct_assign
+
+    return slct_assign(_t(spark, sf_dir, "documents"), "doc_id", "text", 10).select(
+        "doc_id", "template", "event_id", F.col("is_outlier").cast("int").alias("is_outlier")
+    )
+
+
+def q_slct_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logparser_spark.operators.slct import slct_template_counts
+
+    return slct_template_counts(_t(spark, sf_dir, "documents"), "doc_id", "text", 10)
+
+
+def q_logcluster_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogCluster (S6): position-independent frequent words, patterns
+    with *{m,n} variable-gap wildcards."""
+    from logparser_spark.operators.slct import logcluster_templates
+
+    return logcluster_templates(_t(spark, sf_dir, "documents"), "doc_id", "text", 10)
+
+
 def q_grouping_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-style evaluator (A6): pair-F1 + parsing accuracy of the
     heuristic language-ID against the documents' labelled language."""
@@ -932,6 +958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_accuracy": q_grouping_accuracy,
     "lfa_assign": q_lfa_assign,
     "lfa_template_counts": q_lfa_template_counts,
+    "slct_assign": q_slct_assign,
+    "slct_template_counts": q_slct_template_counts,
+    "logcluster_templates": q_logcluster_templates,
     "iplom_mapping": q_iplom_mapping,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
@@ -994,6 +1023,22 @@ def _register_lfa_oracles() -> None:
 
     ORACLES["lfa_assign"] = lfa_assign_sql("documents", "doc_id", "text", 10)
     ORACLES["lfa_template_counts"] = lfa_template_counts_sql(
+        "documents", "doc_id", "text", 10
+    )
+    from logparser_spark.operators.slct import (
+        logcluster_templates_sql,
+        slct_assign_sql,
+        slct_template_counts_sql,
+    )
+
+    ORACLES["slct_assign"] = (
+        "SELECT doc_id, template, event_id, CAST(is_outlier AS INT) AS is_outlier "
+        f"FROM ({slct_assign_sql('documents', 'doc_id', 'text', 10)}) s"
+    )
+    ORACLES["slct_template_counts"] = slct_template_counts_sql(
+        "documents", "doc_id", "text", 10
+    )
+    ORACLES["logcluster_templates"] = logcluster_templates_sql(
         "documents", "doc_id", "text", 10
     )
     ORACLES["iplom_mapping"] = _sql_iplom_mapping()

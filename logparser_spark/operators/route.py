@@ -36,7 +36,7 @@ def with_sink_id(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
 
 
 def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
-                mode: str = "overwrite") -> None:
+                mode: str = "overwrite", templates: list | None = None) -> None:
     """One-pass fan-out write.
 
     The repartition clusters rows by sink (plus a conv_id sub-bucket to
@@ -44,6 +44,16 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
     directory instead of every task writing every sink — the standard fix
     for the dynamic-partition small-files explosion: files scale with
     tasks, not tasks × sinks.
+
+    ``templates`` (the mined KB, or plain template strings) enables the
+    shuffle-payload optimization: matched rows ship a NULL template
+    through the write-side shuffle and re-derive the string after it from
+    a broadcast (event_id → template) map — a KB-sized dim by
+    construction.  Unmatched rows keep their literal template (it is
+    their masked text, per-row unique, so it can't come from any bounded
+    map).  The broadcast hash join preserves the sink clustering, so the
+    written rows and file layout are identical either way; only shuffle
+    bytes change.
     """
     cfg = cfg or PipelineConfig()
     if "sink_id" not in df.columns:
@@ -52,6 +62,25 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
     # the write-side shuffle or persist it to sinks
     if "masked" in df.columns:
         df = df.drop("masked")
+    tpl_map = None
+    if (
+        templates is not None
+        and {"template", "event_id", "matched"} <= set(df.columns)
+    ):
+        from logparser_spark.drain import event_id_of
+
+        tpls = sorted(
+            {getattr(t, "template", t) for t in templates}
+        )
+        tpl_map = df.sparkSession.createDataFrame(
+            [(event_id_of(t), t) for t in tpls], "event_id string, _tpl string"
+        )
+        df = df.withColumn(
+            "template",
+            F.when(F.col("matched"), F.lit(None).cast("string")).otherwise(
+                F.col("template")
+            ),
+        )
     # sub-bucket on (conv_id, turn_idx), not conv_id alone: a dominant
     # conversation would otherwise land in one write task and become the
     # stage straggler (its sink would also produce one giant file)
@@ -61,6 +90,13 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
         F.col("sink_id"),
         F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
     )
+    if tpl_map is not None:
+        cols = clustered.columns
+        clustered = (
+            clustered.join(F.broadcast(tpl_map), "event_id", "left")
+            .withColumn("template", F.coalesce("_tpl", "template"))
+            .select(*cols)
+        )
     (
         clustered.write.format(cfg.sink_format)
         .mode(mode)
