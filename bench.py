@@ -177,7 +177,14 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
     sf = _sf_of(sf_dir)
     n_turns = n_turns_override or _n_turns(sf)
     total_cores = cpus * executors if executors else cpus
-    parts = int(os.environ.get("SPARK_GRAFT_PARTS", "0")) or max(total_cores * 2, 8)
+    # partitions follow DATA SIZE, not just cores (min ~750k turns per
+    # partition): with cores-only sizing the 48 M-turn legs ran the route
+    # write as 2 waves of fat tasks and the straggler set the stage time
+    # (measured: 8-slot assign leg 166 s at 16 parts -> 109 s at 64).
+    # Real clusters size partitions to ~128-256 MB for the same reason.
+    parts = int(os.environ.get("SPARK_GRAFT_PARTS", "0")) or max(
+        total_cores * 2, n_turns // 750_000, 8
+    )
     cfg = PipelineConfig(num_partitions=parts)
 
     timings: dict[str, float] = {}
@@ -463,7 +470,8 @@ if __name__ == "__main__":
                                      execs_small=args.execs_small)))
     elif args.interference:
         print(json.dumps(run_interference(
-            args.sf_dir, n_turns=args.turns or 8_000_000)))
+            args.sf_dir, cpus=args.exec_cores or 4,
+            n_turns=args.turns or 8_000_000)))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns,
                                    args.pipeline_only, args.executors,
