@@ -34,6 +34,14 @@ from logparser_spark.operators.dedup import (
     simhash_dedup,
     simhash_sql,
 )
+from logparser_spark.operators.curation import (
+    decontaminate,
+    decontaminate_sql,
+    pack_sequences,
+    pack_sequences_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
 from logparser_spark.operators.enrich import enrich
 from logparser_spark.operators.mine import mine_templates
 from logparser_spark.operators.multimodal import decode_media, media_from_documents
@@ -528,6 +536,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
 
 
+# -- corpus curation (decontaminate / stratified sample / packing) ------------
+
+DECON_N = 5
+DECON_BENCH_SQL = "SELECT text FROM documents WHERE doc_id % 41 = 0"
+STRATA_RATES = {"en": 3000, "de": 10000, "fr": 5000, "es": 7500, "zh": 0}
+PACK_BUDGET = 512
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flags: every corpus doc scored by distinct
+    word 5-gram overlap against a small eval set (here: every 41st doc
+    plays the benchmark, so known-contaminated rows exist at every SF)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    return decontaminate(docs, bench, "doc_id", "text", n=DECON_N)
+
+
+SQL_DECONTAMINATE = decontaminate_sql(
+    "SELECT doc_id, text FROM documents",
+    DECON_BENCH_SQL,
+    _shingles_sql,
+    n=DECON_N,
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample of the corpus (data
+    mixing): md5-bucket thresholds per stratum, engine-portable so the
+    DuckDB twin selects the identical rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", STRATA_RATES, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+SQL_STRATIFIED = stratified_sample_sql(
+    "SELECT * FROM documents", "lang", STRATA_RATES, "doc_id",
+    select="doc_id, lang",
+)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training-sequence assignment over the id-ordered token
+    stream (two-level distributed prefix sum; bucket_width=64 forces the
+    multi-bucket path even at the smallest SF)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).alias("n_tok")
+    )
+    return pack_sequences(docs, PACK_BUDGET, "doc_id", "n_tok", bucket_width=64)
+
+
+SQL_PACK = pack_sequences_sql(
+    f"SELECT doc_id, len({_toks_sql('text')}) AS n_tok FROM documents",
+    PACK_BUDGET,
+)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) over events."""
     from logparser_spark.operators.sessions import sessionize
@@ -954,6 +1019,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "knn_bruteforce": q_knn_bruteforce,
     "grouping_accuracy": q_grouping_accuracy,
     "lfa_assign": q_lfa_assign,
@@ -1013,6 +1081,9 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED,
+    "pack_sequences": SQL_PACK,
     "knn_bruteforce": SQL_KNN,
     "grouping_accuracy": _sql_grouping_accuracy(),
 }

@@ -1,0 +1,236 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Three ops a pretraining-data pipeline runs after dedup and before
+tokenization, each relational (no UDFs) with a DuckDB SQL twin:
+
+* :func:`decontaminate` — flag corpus docs sharing word n-grams with a
+  benchmark/eval set (train-test contamination detection; the standard
+  n-gram-overlap method, e.g. GPT-3 appendix C / PaLM §7).
+* :func:`stratified_sample` — deterministic per-stratum Bernoulli
+  sampling by md5 bucket (data mixing: "keep 30 % of lang=en, 100 % of
+  lang=de").  Same rows from Spark, DuckDB, and Python — no RNG state.
+* :func:`pack_sequences` — assign docs to fixed-token-budget training
+  sequences by position in the concatenated id-ordered token stream,
+  computed as a two-level distributed prefix sum (no global sort of the
+  corpus, no single-partition window over data-sized input).
+
+Scale notes
+-----------
+* decontaminate: the benchmark n-gram set is small by construction
+  (eval sets are KB–MB) → broadcast; the corpus side explodes shingles
+  but only JOIN MATCHES reach the per-doc aggregation shuffle.  The
+  zero-overlap majority never shuffles — they join back broadcast-left.
+* stratified_sample: pure filter, no shuffle, pushes into the scan.
+* pack_sequences: per-bucket window + a bucket-totals exclusive prefix.
+  The totals frame has |corpus|/bucket_width rows (a 10^12-doc corpus at
+  width 2^20 → 10^6 rows), so its single-partition ordered window is a
+  deliberately tiny driver-scale step; recurse the same trick if that
+  frame ever stops being tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from logparser_spark.functions.hashing import bucket_expr, bucket_sql
+from logparser_spark.operators.dedup import shingles_expr
+
+
+# -- decontamination ----------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-doc n-gram overlap against a benchmark set.
+
+    Returns one row per corpus doc: ``(id, n_overlap, n_doc_ngrams,
+    contaminated)`` where ``n_overlap`` counts the doc's DISTINCT word
+    n-grams that also occur anywhere in ``bench`` and ``contaminated``
+    is ``n_overlap >= min_overlap``.
+
+    The benchmark n-gram dim is distinct-ed then broadcast — an eval
+    set is small by construction, so the corpus-sized side never
+    shuffles for the probe; only matching (doc, shingle) rows enter the
+    per-doc count aggregation.
+    """
+    bench_grams = (
+        bench.select(F.explode(shingles_expr(bench_text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = docs.select(
+        F.col(id_col), F.size(shingles_expr(text_col, n)).alias("n_doc_ngrams")
+    )
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        "n_doc_ngrams",
+        (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+    )
+
+
+def decontaminate_sql(
+    docs_sql: str,
+    bench_sql: str,
+    shingles_sql_fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> str:
+    """DuckDB twin of :func:`decontaminate`.  ``shingles_sql_fn(col, n)``
+    must be the caller's shingle-list SQL builder (the same one its other
+    oracles use, so tokenization stays identical)."""
+    dg = shingles_sql_fn(text_col, n)
+    bg = shingles_sql_fn(bench_text_col, n)
+    return (
+        f"WITH bgrams AS (SELECT DISTINCT unnest({bg}) AS shingle FROM ({bench_sql})), "
+        f"dgrams AS (SELECT {id_col}, unnest({dg}) AS shingle FROM ({docs_sql})), "
+        f"hits AS (SELECT {id_col}, count(*) AS n_overlap FROM dgrams "
+        f"JOIN bgrams USING (shingle) GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, coalesce(h.n_overlap, 0) AS n_overlap, "
+        f"len({dg}) AS n_doc_ngrams, "
+        f"coalesce(h.n_overlap, 0) >= {min_overlap} AS contaminated "
+        f"FROM ({docs_sql}) d LEFT JOIN hits h USING ({id_col})"
+    )
+
+
+# -- stratified sampling ------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    key_col: str,
+    denom: int = 10_000,
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    ``rates`` maps stratum value → integer keep-threshold out of
+    ``denom`` (e.g. ``{"en": 3000}`` keeps ~30 % of en rows).  A row is
+    kept iff ``md5_bucket(key) < rate[stratum]`` — the md5 bucket is the
+    repo's engine-portable hash (`functions/hashing.py`), so Spark,
+    DuckDB, and plain Python all select the SAME rows, re-runs are
+    byte-stable, and there is no RNG state to seed per partition.
+
+    Integer thresholds (not float fractions) keep the comparison exact
+    across engines.  Pure narrow filter: no shuffle, prunes at the scan.
+    """
+    cond = F.lit(default_rate)
+    for value, rate in sorted(rates.items()):
+        cond = F.when(F.col(strata_col) == value, F.lit(rate)).otherwise(cond)
+    bucket = bucket_expr(F.col(key_col).cast("string"), denom)
+    return df.filter(bucket < cond)
+
+
+def stratified_sample_sql(
+    src_sql: str,
+    strata_col: str,
+    rates: dict[str, int],
+    key_col: str,
+    denom: int = 10_000,
+    default_rate: int = 0,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same md5 bucketing)."""
+    cases = " ".join(
+        f"WHEN '{v}' THEN {r}" for v, r in sorted(rates.items())
+    )
+    bucket = bucket_sql(f"CAST({key_col} AS VARCHAR)", denom)
+    return (
+        f"SELECT {select} FROM ({src_sql}) WHERE {bucket} < "
+        f"CASE {strata_col} {cases} ELSE {default_rate} END"
+    )
+
+
+# -- sequence packing ---------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    bucket_width: int = 65_536,
+) -> DataFrame:
+    """Assign each doc to a fixed-token-budget training sequence.
+
+    Semantics: concatenate all docs in ``id_col`` order into one token
+    stream; a doc belongs to the sequence its FIRST token falls in —
+    ``seq_id = floor(exclusive_cumsum(len) / seq_budget)`` and
+    ``tok_offset = exclusive_cumsum(len) % seq_budget`` (contiguous
+    GPT-style chunking; long docs may straddle into the next chunk,
+    which the trainer handles by splitting at read time).
+
+    Distributed shape — a two-level prefix sum, NOT a global-sort
+    window: docs bucket by ``id_col // bucket_width`` (ids need not be
+    dense; buckets need not be equal-sized), per-bucket totals reduce to
+    a tiny frame whose exclusive prefix gives each bucket's stream
+    offset, broadcast back; the per-doc running sum is then a window
+    WITHIN each bucket.  No stage ever sorts the full corpus in one
+    partition.
+    """
+    ids_ok = docs.select(id_col, len_col)
+    b = ids_ok.withColumn(
+        "_bkt", F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+    )
+    totals = b.groupBy("_bkt").agg(F.sum(len_col).alias("_tot"))
+    # tiny frame: |docs| / bucket_width rows — single-partition ordered
+    # window here is deliberate (see module docstring)
+    prior = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(prior), F.lit(0)).alias("_off")
+    )
+    within = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ecs = F.col("_off") + F.coalesce(F.sum(len_col).over(within), F.lit(0))
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .select(
+            F.col(id_col),
+            F.col(len_col),
+            F.floor(ecs / F.lit(seq_budget)).cast("long").alias("seq_id"),
+            F.pmod(ecs, F.lit(seq_budget)).cast("long").alias("tok_offset"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    src_sql: str,
+    seq_budget: int,
+    id_col: str = "doc_id",
+    len_expr: str = "n_tok",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`: the bucketed prefix sum
+    collapses to one plain exclusive-cumsum window at oracle scale."""
+    ecs = (
+        f"coalesce(sum({len_expr}) OVER (ORDER BY {id_col} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return (
+        f"SELECT {id_col}, {len_expr} AS n_tok, "
+        f"CAST(floor({ecs} / {seq_budget}) AS BIGINT) AS seq_id, "
+        f"CAST({ecs} % {seq_budget} AS BIGINT) AS tok_offset "
+        f"FROM ({src_sql})"
+    )

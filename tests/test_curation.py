@@ -1,0 +1,165 @@
+"""Corpus-curation operators: decontamination, stratified sampling,
+sequence packing (logic checks; DuckDB parity runs in
+test_entry_oracle_parity.py via the registry)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logparser_spark.functions.hashing import py_bucket
+from logparser_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+# -- decontaminate -------------------------------------------------------------
+
+
+def test_decontaminate_counts_distinct_shared_ngrams(spark):
+    docs = spark.createDataFrame(
+        [
+            # 8 tokens -> 4 distinct 5-grams; the first two 5-grams are in bench
+            (1, "a b c d e f g h"),
+            # no token in common with bench
+            (2, "x y z w v u t s"),
+            # shorter than n=5 tokens -> whole text is the single shingle
+            (3, "a b c"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [("a b c d e f",)], "text string"  # 2 distinct 5-grams
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    assert got[1]["n_overlap"] == 2 and got[1]["contaminated"]
+    assert got[1]["n_doc_ngrams"] == 4
+    assert got[2]["n_overlap"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_overlap"] == 0  # "a b c" is not a bench 5-gram
+    assert got[3]["n_doc_ngrams"] == 1
+
+
+def test_decontaminate_zero_overlap_docs_survive_with_full_row(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique tokens {i} only here nothing shared") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([("completely different benchmark text",)],
+                                  "text string")
+    out = decontaminate(docs, bench, n=3)
+    assert out.count() == 20
+    assert out.filter("contaminated").count() == 0
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    strict = decontaminate(docs, bench, n=5, min_overlap=2)
+    assert strict.filter("contaminated").count() == 0
+    loose = decontaminate(docs, bench, n=5, min_overlap=1)
+    assert loose.filter("contaminated").count() == 1
+
+
+# -- stratified sample ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def strata_df(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "id bigint, grp string").cache()
+
+
+def test_stratified_sample_edges_and_determinism(spark, strata_df):
+    rates = {"a": 10_000, "b": 0}  # keep all a, drop all b, default-drop c
+    out = stratified_sample(strata_df, "grp", rates, "id")
+    got = out.groupBy("grp").count().collect()
+    counts = {r["grp"]: r["count"] for r in got}
+    assert counts == {"a": 1000}
+    # deterministic: identical row set on re-run
+    again = stratified_sample(strata_df, "grp", rates, "id")
+    assert out.exceptAll(again).count() == 0
+
+
+def test_stratified_sample_rate_is_roughly_proportional(spark, strata_df):
+    out = stratified_sample(strata_df, "grp", {"a": 5000}, "id")
+    n = out.count()
+    assert 380 <= n <= 620  # ~500 of the 1000 'a' rows
+
+
+def test_stratified_sample_matches_python_bucket_rule(spark, strata_df):
+    rates = {"a": 2500, "b": 7500}
+    got = {
+        r["id"]
+        for r in stratified_sample(strata_df, "grp", rates, "id").collect()
+    }
+    want = {
+        i
+        for i in range(3000)
+        if py_bucket(str(i), 10_000) < rates.get(["a", "b", "c"][i % 3], 0)
+    }
+    assert got == want
+
+
+# -- pack_sequences ------------------------------------------------------------
+
+
+def test_pack_sequences_hand_example(spark):
+    # lens 300,300,300 with budget 512: starts at 0,300,600 -> seqs 0,0,1
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300)], "doc_id bigint, n_tok bigint"
+    )
+    got = {
+        r["doc_id"]: (r["seq_id"], r["tok_offset"])
+        for r in pack_sequences(docs, 512, bucket_width=2).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88)}
+
+
+def test_pack_sequences_bucket_width_invariant_and_matches_pandas(spark):
+    # sparse, non-dense ids; any bucket_width must give the same answer
+    rows = [(i * 37 + (i % 5), (i * 211) % 900 + 1) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    ref = None
+    for width in (16, 64, 100_000):
+        got = (
+            pack_sequences(docs, 1024, bucket_width=width)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(ref, got)
+    # pandas mirror: exclusive cumsum over id order
+    mirror = pd.DataFrame(rows, columns=["doc_id", "n_tok"]).sort_values(
+        "doc_id", ignore_index=True
+    )
+    ecs = mirror["n_tok"].cumsum() - mirror["n_tok"]
+    assert (ref["seq_id"] == ecs // 1024).all()
+    assert (ref["tok_offset"] == ecs % 1024).all()
+
+
+def test_pack_sequences_no_full_corpus_single_partition_exchange(spark):
+    """The corpus-sized side must never sort in one partition: the only
+    single-partition window is over the tiny bucket-totals frame."""
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 700 + 1).alias("n_tok")
+    )
+    plan = (
+        pack_sequences(docs, 2048, bucket_width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one SinglePartition exchange is allowed: the bucket-totals
+    # prefix (10k docs / width 64 = 157 rows); the 10k-doc side must not
+    # add another
+    assert plan.count("Exchange SinglePartition") <= 1
