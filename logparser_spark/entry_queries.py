@@ -593,6 +593,58 @@ SQL_PACK = pack_sequences_sql(
 )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-data curation flow — what a
+    pretraining pipeline actually ships: near-dup resolve (LSH →
+    Jaccard-verify → connected components → keep canonical), then
+    benchmark decontamination, then per-language stratified sampling,
+    then fixed-budget sequence packing.  Every stage is the same
+    operator its standalone query checks; this entry checks their
+    COMPOSITION end-to-end against one nested DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = q_dedup_canonical(spark, sf_dir).filter(F.col("doc_id") < DUP_OFFSET)
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    decon = decontaminate(
+        kept.select("doc_id", "text"), bench, "doc_id", "text", n=DECON_N
+    )
+    clean = kept.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sampled = stratified_sample(clean, "lang", STRATA_RATES, "doc_id")
+    return pack_sequences(
+        sampled.select("doc_id", F.size(tokens_expr("text")).alias("n_tok")),
+        PACK_BUDGET,
+        bucket_width=64,
+    )
+
+
+_KEPT_SQL = (
+    f"SELECT doc_id FROM ({SQL_DEDUP_CANONICAL}) WHERE doc_id < {DUP_OFFSET}"
+)
+_KEPT_DOCS_SQL = (
+    "SELECT d.doc_id, d.text FROM documents d "
+    f"JOIN ({_KEPT_SQL}) k USING (doc_id)"
+)
+_CLEAN_SQL = (
+    "SELECT doc_id FROM ("
+    + decontaminate_sql(_KEPT_DOCS_SQL, DECON_BENCH_SQL, _shingles_sql, n=DECON_N)
+    + ") WHERE NOT contaminated"
+)
+_SAMPLED_SQL = stratified_sample_sql(
+    "SELECT d.doc_id, d.lang, d.text FROM documents d "
+    f"JOIN ({_CLEAN_SQL}) c USING (doc_id)",
+    "lang",
+    STRATA_RATES,
+    "doc_id",
+    select="doc_id, text",
+)
+SQL_CURATION_PIPELINE = pack_sequences_sql(
+    f"SELECT doc_id, len({_toks_sql('text')}) AS n_tok FROM ({_SAMPLED_SQL})",
+    PACK_BUDGET,
+)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) over events."""
     from logparser_spark.operators.sessions import sessionize
@@ -1022,6 +1074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "curation_pipeline": q_curation_pipeline,
     "knn_bruteforce": q_knn_bruteforce,
     "grouping_accuracy": q_grouping_accuracy,
     "lfa_assign": q_lfa_assign,
@@ -1084,6 +1137,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED,
     "pack_sequences": SQL_PACK,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "knn_bruteforce": SQL_KNN,
     "grouping_accuracy": _sql_grouping_accuracy(),
 }
