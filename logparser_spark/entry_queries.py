@@ -49,6 +49,8 @@ from logparser_spark.operators.route import with_sink_id
 from logparser_spark.operators.similarity import (
     ann_corpus_neighbors,
     ann_corpus_neighbors_sql,
+    ann_ivf_topk,
+    ann_ivf_topk_sql,
     ann_lsh_topk,
     ann_lsh_topk_sql,
     cosine_topk,
@@ -1012,6 +1014,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_LSH = ann_lsh_topk_sql(query_filter="vec_id < 5", n_planes=4, n_tables=4, k=5)
 
 
+IVF_KW = dict(n_centroids=8, n_probe=2, k=5, iters=1, id_stride=7)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN: coarse-quantized probe search (the FAISS-IVF layout —
+    the billion-scale sibling of the LSH path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.filter("vec_id < 5"), **IVF_KW)
+
+
+SQL_ANN_IVF = ann_ivf_topk_sql(query_filter="vec_id < 5", **IVF_KW)
+
+
 ANN_CORPUS_KW = dict(n_planes=8, n_tables=2, k=3)
 
 
@@ -1091,6 +1106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_candidates": q_simhash_candidates,
     "ann_corpus_neighbors": q_ann_corpus_neighbors,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
@@ -1129,6 +1145,7 @@ ORACLES: dict[str, str] = {
     "simhash_candidates": SQL_SIMHASH,
     "ann_corpus_neighbors": SQL_ANN_CORPUS,
     "ann_lsh_topk": SQL_ANN_LSH,
+    "ann_ivf_topk": SQL_ANN_IVF,
     "embedding_near_dups": SQL_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,

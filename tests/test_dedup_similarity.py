@@ -253,3 +253,70 @@ def test_dedup_keep_canonical_resolves_corpus(spark, docs_with_dups):
         F.col("member_id").alias("doc_id")
     )
     assert kept.join(losers, "doc_id", "left_semi").count() == 0
+
+
+# -- IVF ANN ------------------------------------------------------------------
+
+
+def test_ivf_recall_against_exact(spark, emb):
+    from logparser_spark.operators.similarity import ann_ivf_topk
+
+    queries = emb.filter("vec_id < 20")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ann_ivf_topk(emb, queries, n_centroids=8, n_probe=3, k=5).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 3 of 8 cells probed over near-isotropic synthetic embeddings:
+    # the floor is the probed-mass fraction, clustering adds on top
+    assert recall >= 0.3
+    # every query got a full k unless its probed cells were too small
+    assert (approx.groupby("query_id")["rank"].max() <= 5).all()
+
+
+def test_ivf_probe_more_cells_monotone_recall(spark, emb):
+    from logparser_spark.operators.similarity import ann_ivf_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+
+    def recall(n_probe):
+        a = ann_ivf_topk(emb, queries, n_centroids=8, n_probe=n_probe, k=5).toPandas()
+        s = set(map(tuple, a[["query_id", "neighbor_id"]].values))
+        return len(exact_set & s) / len(exact_set)
+
+    # probing every cell IS the exact search (all candidates scored)
+    assert recall(8) == 1.0
+    assert recall(4) <= recall(8)
+
+
+def test_ivf_assign_batched_matches_expression_path(spark, emb):
+    from logparser_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_batched,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, n_centroids=8, iters=1)
+    rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    expr = ivf_assign(emb, cents).toPandas().sort_values("vec_id")
+    batched = (
+        ivf_assign_batched(emb, [r["cvec"] for r in rows])
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert list(expr["centroid_id"]) == list(batched["centroid_id"])
+
+
+def test_ivf_centroids_refinement_changes_and_drops_empty(spark, emb):
+    from logparser_spark.operators.similarity import ivf_centroids
+
+    c0 = ivf_centroids(emb, n_centroids=8, iters=0).toPandas()
+    c1 = ivf_centroids(emb, n_centroids=8, iters=1).toPandas()
+    assert len(c0) == 8
+    assert len(c1) <= 8  # empty cells drop out
+    # refined centroids are means, not corpus vectors: components differ
+    v0 = dict(zip(c0["centroid_id"], c0["cvec"]))
+    v1 = dict(zip(c1["centroid_id"], c1["cvec"]))
+    assert any(list(v0[c]) != list(v1[c]) for c in v1)
