@@ -90,6 +90,11 @@ def build_spark(cpus: int, executors: int = 0):
         .config("spark.default.parallelism", str(total))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # route_write uses an AQE REBALANCE hint; equal ~24MB write tasks
+        # pack into any slot count with low quantization loss (the 64MB
+        # default yields 2.5-wave stages at bench sizes — on a real
+        # cluster keep 64-128MB, the task count is thousands either way)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "24MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -97,6 +102,14 @@ def build_spark(cpus: int, executors: int = 0):
         .config("spark.task.cpus", os.environ.get("SPARK_TASK_CPUS", "1"))
         .config("spark.ui.enabled", "false")
     )
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evlog:
+        # stage-level decomposition for scaling analysis (parse the JSON
+        # event log for per-stage times instead of guessing from wall)
+        os.makedirs(evlog, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
     if executors:
         b = (
             b.config("spark.executor.memory", f"{exec_mem_mb - 2048}m")
@@ -223,14 +236,20 @@ def run_bench(sf_dir: str, cpus: int, n_turns_override: int = 0,
         # starves every core past the 4th (observed: 16-core leg slower
         # than 4-core). On a real cluster the 100 TB input has plenty of
         # splits; here the split size must follow the input size.
-        nbytes = sum(
+        # one split per input file, exactly: sizing splits as bytes//parts
+        # re-splits every file that rounds a hair over and yields e.g. 36
+        # splits for 32 files — 36 tasks over 8 slots is 4.5 waves, a
+        # built-in 0.90 occupancy cap (measured via event logs). The
+        # input was WRITTEN with `parts` partitions, so file count ==
+        # parts; cover the largest file and each file is one split.
+        fsizes = [
             os.path.getsize(os.path.join(in_dir, f))
             for f in os.listdir(in_dir)
             if f.endswith(".parquet")
-        )
+        ]
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes",
-            str(max(nbytes // parts + 1, 1 << 20)),
+            str(max(fsizes) + (4 << 20)),
         )
         tdf = spark.read.parquet(in_dir)
     else:

@@ -84,12 +84,23 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
     # sub-bucket on (conv_id, turn_idx), not conv_id alone: a dominant
     # conversation would otherwise land in one write task and become the
     # stage straggler (its sink would also produce one giant file)
-    sub_buckets = max(cfg.num_partitions // 8, 1)
-    clustered = df.repartition(
-        cfg.num_partitions,
-        F.col("sink_id"),
-        F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
-    )
+    if cfg.route_rebalance:
+        # AQE REBALANCE(sink_id) instead of a fixed hash repartition:
+        # perfect sink clustering, and AQE's skew-split carves an
+        # oversized sink across tasks by mapper ranges (the runtime
+        # version of the manual sub-bucket trick, no extra shuffled
+        # column) while coalescing small sinks together. Hash-packing
+        # (sink, sub_bucket) keys into a fixed partition count left
+        # write tasks empty or at 2x the median — event-log measured
+        # occupancy 0.80 at 8 slots, the cap on write-stage scaling.
+        clustered = df.hint("rebalance", "sink_id")
+    else:
+        sub_buckets = max(cfg.num_partitions // 8, 1)
+        clustered = df.repartition(
+            cfg.num_partitions,
+            F.col("sink_id"),
+            F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
+        )
     if tpl_map is not None:
         cols = clustered.columns
         clustered = (
