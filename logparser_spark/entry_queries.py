@@ -21,7 +21,13 @@ from logparser_spark.config import DEFAULT_REX, PipelineConfig
 from logparser_spark.functions.masking import mask_expr, mask_sql
 from logparser_spark.functions.text import tokens_expr
 from logparser_spark.operators import textstats as TS
-from logparser_spark.operators.aggregate import salted_agg, sink_window_counts
+from logparser_spark.operators.aggregate import (
+    grouped_percentiles,
+    grouped_percentiles_sql,
+    salted_agg,
+    sink_window_counts,
+)
+from logparser_spark.operators.sketches import cms_heavy_hitters_sql
 from logparser_spark.operators.assign import assign_templates
 from logparser_spark.operators.dedup import (
     dedup_keep_canonical,
@@ -243,6 +249,40 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per type (nearest-rank over
+    cents bigints — no float aggregate in the checked output)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return grouped_percentiles(ev, ["event_type"], "value_cents")
+
+
+SQL_PERCENTILES = grouped_percentiles_sql(
+    "(SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents"
+    " FROM events)",
+    ["event_type"],
+    "value_cents",
+    "value_cents",
+)
+
+
+CMS_KW = dict(depth=4, width=512, threshold=80)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event users — grid-bounded
+    frequency state; estimates are one-sided (collision riders possible,
+    never undercounts), md5 rows so both engines sketch identically."""
+    from logparser_spark.operators.sketches import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", **CMS_KW)
+
+
+SQL_CMS_HH = cms_heavy_hitters_sql("events", "user_id", **CMS_KW)
 
 
 SQL_WINDOWED = (
@@ -1107,6 +1147,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_corpus_neighbors": q_ann_corpus_neighbors,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "event_percentiles": q_event_percentiles,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "embedding_near_dups": q_embedding_near_dups,
     # rows-only (non-SQL-expressible)
     "drain_template_table": q_drain_template_table,
@@ -1146,6 +1188,8 @@ ORACLES: dict[str, str] = {
     "ann_corpus_neighbors": SQL_ANN_CORPUS,
     "ann_lsh_topk": SQL_ANN_LSH,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "event_percentiles": SQL_PERCENTILES,
+    "cms_heavy_hitters": SQL_CMS_HH,
     "embedding_near_dups": SQL_NEAR_DUPS,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,

@@ -110,3 +110,72 @@ def turn_window_counts(df: DataFrame, cfg: PipelineConfig | None = None) -> Data
         salt_buckets=cfg.salt_buckets,
     )
     return out.select("conv_id", "turn_bucket", "event_id", F.col("n").alias("n_turns"))
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact per-group percentiles by the nearest-rank definition: the
+    p-th percentile is the ``ceil(p*n)``-th smallest value (duplicates
+    counted) — ``percentile_disc`` semantics, engine-portable because it
+    selects an EXISTING value by integer rank instead of interpolating
+    floats.
+
+    Output long form: (keys…, pct string like 'p95', ``value_col``).
+
+    Scale shape: one shuffle on ``keys`` + per-group sort (the window) —
+    the lower bound for EXACT percentiles.  Ties rank arbitrarily but
+    the selected VALUE at rank k is the k-th order statistic either way,
+    so the output is deterministic.  For sketch-accuracy-is-fine paths
+    use ``F.approx_percentile`` (t-digest, no cross-engine oracle).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*keys)
+    ranked = df.select(*keys, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(wn))
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f"p{round(p * 100)}").alias("pct"),
+                    F.lit(float(p)).alias("_p"),
+                )
+                for p in ps
+            ]
+        )
+    ).alias("_t")
+    return (
+        ranked.select(*keys, value_col, "_rn", "_n", targets)
+        .filter(F.col("_rn") == F.ceil(F.col("_t._p") * F.col("_n")))
+        .select(*keys, F.col("_t.pct").alias("pct"), value_col)
+    )
+
+
+def grouped_percentiles_sql(
+    src: str,
+    keys: list[str],
+    value_expr: str,
+    value_alias: str,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> str:
+    """DuckDB-SQL twin of :func:`grouped_percentiles` (same nearest-rank
+    selection; ``ceil(p*n)`` computed in double on both engines, so even
+    a representation epsilon rounds identically)."""
+    ks = ", ".join(keys)
+    vals = ", ".join(f"('p{round(p * 100)}', {float(p)})" for p in ps)
+    return f"""
+WITH ranked AS (
+  SELECT {ks}, {value_expr} AS {value_alias},
+         row_number() OVER (PARTITION BY {ks} ORDER BY {value_expr}) AS rn,
+         count(*) OVER (PARTITION BY {ks}) AS n
+  FROM {src})
+SELECT {ks}, t.pct, {value_alias}
+FROM ranked CROSS JOIN (VALUES {vals}) t(pct, p)
+WHERE rn = CAST(ceil(t.p * n) AS BIGINT)
+"""

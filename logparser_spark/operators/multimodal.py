@@ -1,17 +1,28 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
-metadata struct — the Spark-side plumbing (schema, partitioning, Arrow
-batch shape, UDF signatures) is real and tested; the actual codec step is
-stubbed because no image/audio libraries exist in this container.  The
-stubs are deterministic (md5-derived) so tests are exact; swap
-``_decode_image_batch`` for a PIL/libvips call on a real cluster.
+metadata struct.  The Spark-side plumbing (schema, partitioning, Arrow
+batch shape, UDF signatures) is real and tested, and — r3 — so is the
+codec step for the UNCOMPRESSED formats, implemented from the published
+byte layouts with nothing but numpy/struct:
+
+* **BMP** (Windows V3 ``BITMAPINFOHEADER``, 24-bit BGR, bottom-up rows,
+  4-byte row padding): :func:`encode_bmp` / :func:`decode_bmp`.
+* **WAV** (RIFF, PCM 16-bit mono): :func:`encode_wav` / :func:`decode_wav`.
+
+Compressed formats (jpeg/png/webp, mp3, h264) still fall back to a
+deterministic md5 stub — those genuinely need PIL/ffmpeg, absent in this
+container — and the fallback is loudly labeled so the boundary between
+real decode and stand-in is visible in the output ``format`` column
+('bmp'/'wav' = real parse, 'raw' = stub).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,66 +47,208 @@ DECODED_FIELDS = [
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ]
 
-HAVE_REAL_CODECS = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
 
-    HAVE_REAL_CODECS = True
-except Exception:
-    pass
+# ---------------------------------------------------------------------------
+# Real codecs for uncompressed formats (pure bytes + numpy, no libraries)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BMP bytes (V3 header, bottom-up)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    # RGB → BGR, bottom row first
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """24-bit BMP bytes → (h, w, 3) uint8 RGB (inverse of encode_bmp)."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=row_bytes * abs(h),
+                         offset=offset).reshape(abs(h), row_bytes)
+    img = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+    return img[::-1] if h > 0 else img  # positive h = bottom-up
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (int16 samples, sample rate)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate = struct.unpack_from("<I", raw, 24)[0]
+    n = struct.unpack_from("<I", raw, 40)[0]
+    return np.frombuffer(raw, dtype="<i2", count=n // 2, offset=44), rate
+
+
+def _md5_stream(seed: bytes, n: int) -> np.ndarray:
+    """n deterministic bytes from chained md5 of seed (test pixel/PCM)."""
+    import hashlib
+
+    out = bytearray()
+    ctr = 0
+    while len(out) < n:
+        out += hashlib.md5(seed + ctr.to_bytes(4, "little")).digest()
+        ctr += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic media table from ``documents`` (test stand-in
-    for a real object-store-backed media table): payload = utf-8 bytes."""
-    return docs.select(
+    for a real object-store-backed media table).
+
+    Image rows carry REAL encoded BMPs and audio rows REAL WAVs (pixels /
+    PCM are md5-derived from the text, so the table is reproducible);
+    video rows keep an opaque payload — their decode stays stubbed.
+    Encoding runs in the same ``mapInPandas`` Arrow-batch shape the
+    decode side uses.
+    """
+    base = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
-        ).alias("meta"),
+        F.encode("text", "utf-8").alias("_seed"),
     )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, kind, seed in zip(
+                pdf["media_id"], pdf["kind"], pdf["_seed"]
+            ):
+                seed = bytes(seed)
+                if kind == "image":
+                    w = 8 + int(mid) % 9
+                    h = 8 + (int(mid) * 7) % 9
+                    px = _md5_stream(seed, w * h * 3).reshape(h, w, 3)
+                    payloads.append(encode_bmp(px))
+                elif kind == "audio":
+                    n = 64 + int(mid) % 64
+                    pcm = (
+                        _md5_stream(seed, n * 2).view("<i2").astype(np.int16)
+                    )
+                    payloads.append(encode_wav(pcm))
+                else:
+                    payloads.append(seed)  # opaque (stub decode path)
+            mime = {
+                "image": "image/bmp",
+                "audio": "audio/wav",
+                "video": "application/octet-stream",
+            }
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": mime[k], "n_bytes": len(p)}
+                        for k, p in zip(pdf["kind"], payloads)
+                    ],
+                }
+            )
+
+    return base.mapInPandas(fn, MEDIA_SCHEMA)
 
 
 def _decode_image_batch(payload: pd.Series) -> pd.DataFrame:
-    """STUB decode. Real implementation would be e.g. PIL over the bytes.
+    """Decode one Arrow batch of payloads.
 
-    Deterministic fake: dimensions and an 8-dim feature vector derived
-    from md5 of the payload, so downstream plumbing is exactly testable.
+    Real parse for BMP (dims from the header, 8-dim feature = per-channel
+    mean/std + normalized dims computed from the ACTUAL pixels) and WAV
+    (width = #samples, feature = RMS/zero-crossing stats of the ACTUAL
+    PCM).  Anything else — compressed formats needing PIL/ffmpeg — takes
+    the loudly-labeled md5 stub (format='raw') so the plumbing stays
+    exactly testable without pretending to decode.
     """
-    if HAVE_REAL_CODECS:
-        raise NotImplementedError(
-            "real codec path not wired in this sandbox; replace this stub "
-            "with PIL/torchvision decode on a real cluster"
-        )
     import hashlib
 
     rows = []
     for raw in payload:
-        d = hashlib.md5(bytes(raw)).digest()
-        rows.append(
-            {
-                "width": 16 + d[0] % 64,
-                "height": 16 + d[1] % 64,
-                "format": ("png", "jpeg", "webp")[d[2] % 3],
-                "feature": [round(b / 255.0, 6) for b in d[3:11]],
-            }
-        )
+        raw = bytes(raw)
+        if raw[:2] == b"BM":
+            px = decode_bmp(raw).astype(np.float64) / 255.0
+            h, w, _ = px.shape
+            mean = px.mean(axis=(0, 1))
+            std = px.std(axis=(0, 1))
+            rows.append(
+                {
+                    "width": w,
+                    "height": h,
+                    "format": "bmp",
+                    "feature": [
+                        round(float(v), 6)
+                        for v in (*mean, *std, w / 255.0, h / 255.0)
+                    ],
+                }
+            )
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            pcm, rate = decode_wav(raw)
+            x = pcm.astype(np.float64) / 32768.0
+            zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+            rows.append(
+                {
+                    "width": int(len(pcm)),
+                    "height": 1,
+                    "format": "wav",
+                    "feature": [
+                        round(float(v), 6)
+                        for v in (
+                            np.sqrt(np.mean(x**2)),  # RMS
+                            zc,                       # zero-crossing rate
+                            x.mean(),
+                            x.std(),
+                            x.min(),
+                            x.max(),
+                            rate / 48000.0,
+                            len(x) / 1e4,
+                        )
+                    ],
+                }
+            )
+        else:
+            # STUB: compressed/unknown format — md5-derived stand-in
+            d = hashlib.md5(raw).digest()
+            rows.append(
+                {
+                    "width": 16 + d[0] % 64,
+                    "height": 16 + d[1] % 64,
+                    "format": "raw",
+                    "feature": [round(b / 255.0, 6) for b in d[3:11]],
+                }
+            )
     return pd.DataFrame(rows)
 
 
 def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Arrow-batched decode/feature-extract over ``mapInPandas``.
 
-    The pattern to copy for real codecs: iterate Arrow batches, decode
-    vectorized per batch, emit original columns + decoded struct fields —
-    executor-parallel, no driver involvement, no per-row Python overhead
-    beyond the codec call itself.
+    Executor-parallel, no driver involvement, no per-row Python overhead
+    beyond the codec call itself; BMP/WAV payloads are REALLY decoded
+    (see :func:`_decode_image_batch`), compressed formats take the
+    labeled stub.
     """
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != "payload"] + DECODED_FIELDS
@@ -112,14 +265,13 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 
 def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """Arrow-batched resize over ``mapInPandas`` (plumbing real, codec
-    stubbed like :func:`decode_media`).
+    """Arrow-batched resize over ``mapInPandas``.
 
-    Real implementation: decode → resample → re-encode per batch.  The
-    deterministic stand-in re-encodes the payload as
-    ``md5(payload) || target dims`` so output bytes are exact in tests;
-    the metadata struct is updated to the post-resize truth (the part
-    downstream consumers rely on).
+    BMP payloads are REALLY resized: decode → nearest-neighbor resample
+    in numpy → re-encode, so the output payload is itself a valid BMP of
+    the target dimensions.  Non-image payloads keep the deterministic
+    md5-tag stand-in (audio resampling / video transcode need real DSP
+    libraries).
     """
     out_schema = T.StructType(
         [f for f in df.schema.fields]
@@ -133,17 +285,21 @@ def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataF
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        tag = f":{target_w}x{target_h}".encode()
         for pdf in batches:
-            if HAVE_REAL_CODECS:
-                raise NotImplementedError(
-                    "real resize path not wired in this sandbox; decode → "
-                    "resample → encode per batch on a real cluster"
-                )
-            tag = f":{target_w}x{target_h}".encode()
             pdf = pdf.copy()
-            pdf["payload"] = [
-                hashlib.md5(bytes(raw)).digest() + tag for raw in pdf["payload"]
-            ]
+            out = []
+            for raw in pdf["payload"]:
+                raw = bytes(raw)
+                if raw[:2] == b"BM":
+                    px = decode_bmp(raw)
+                    h, w, _ = px.shape
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    out.append(encode_bmp(px[yi][:, xi]))
+                else:
+                    out.append(hashlib.md5(raw).digest() + tag)
+            pdf["payload"] = out
             pdf["resized_w"] = target_w
             pdf["resized_h"] = target_h
             yield pdf[out_cols]

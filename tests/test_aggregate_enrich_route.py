@@ -123,3 +123,46 @@ def test_routing_is_deterministic_function(spark, routed):
 
 def test_matched_rows_never_route_dead(spark, routed):
     assert routed.filter("matched AND sink_id = 'dead'").count() == 0
+
+
+# -- exact grouped percentiles -------------------------------------------------
+
+
+def test_grouped_percentiles_matches_nearest_rank_numpy(spark):
+    import math
+
+    from logparser_spark.operators.aggregate import grouped_percentiles
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+        .cache()
+    )
+    got = {
+        (r["event_type"], r["pct"]): r["v"]
+        for r in grouped_percentiles(ev, ["event_type"], "v").collect()
+    }
+    pdf = ev.toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        vals = sorted(grp["v"])
+        for p in (0.5, 0.95, 0.99):
+            expect = vals[math.ceil(p * len(vals)) - 1]
+            assert got[(etype, f"p{round(p * 100)}")] == expect
+    # long form: one row per (group, pct)
+    assert len(got) == pdf["event_type"].nunique() * 3
+
+
+def test_grouped_percentiles_duplicate_values_and_tiny_groups(spark):
+    from logparser_spark.operators.aggregate import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 7)], "g string, v long"
+    )
+    got = {
+        (r["g"], r["pct"]): r["v"]
+        for r in grouped_percentiles(df, ["g"], "v", ps=(0.5, 1.0)).collect()
+    }
+    # a: sorted [1,1,2] -> p50 = ceil(1.5)=rank2 -> 1, p100 = rank3 -> 2
+    assert got[("a", "p50")] == 1 and got[("a", "p100")] == 2
+    # singleton group: every percentile is the value
+    assert got[("b", "p50")] == 7 and got[("b", "p100")] == 7

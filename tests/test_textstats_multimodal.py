@@ -85,12 +85,39 @@ def test_bottomk_sketch_matches_sql_twin(spark, docs):
     _cmp(got, want)
 
 
-def test_media_decode_plumbing(spark, docs):
+def test_bmp_wav_codec_roundtrip():
+    """The uncompressed codecs are REAL: encode→decode is identity."""
+    import numpy as np
+
+    from logparser_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in ((8, 8), (11, 13), (1, 5)):  # odd widths exercise padding
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+    pcm = rng.randint(-32768, 32767, 200).astype(np.int16)
+    got, rate = decode_wav(encode_wav(pcm, rate=16000))
+    assert rate == 16000 and (got == pcm).all()
+
+
+def test_media_decode_real_formats(spark, docs):
     media = media_from_documents(docs.limit(50))
     decoded = decode_media(media)
     pdf = decoded.toPandas()
     assert len(pdf) == 50
-    assert set(pdf["format"]) <= {"png", "jpeg", "webp"}
+    # image rows decode as real BMPs, audio as real WAVs, video = stub
+    by_kind = dict(pdf.groupby("kind")["format"].agg(set))
+    assert by_kind["image"] == {"bmp"} and by_kind["audio"] == {"wav"}
+    assert by_kind["video"] == {"raw"}
+    # BMP dims come from the actual header, per the generator's formula
+    imgs = pdf[pdf["kind"] == "image"]
+    assert (imgs["width"] == 8 + imgs["media_id"] % 9).all()
+    assert (imgs["height"] == 8 + (imgs["media_id"] * 7) % 9).all()
     assert all(len(f) == 8 for f in pdf["feature"])
     # deterministic: same payload → same decode
     again = decode_media(media).toPandas()
@@ -100,15 +127,20 @@ def test_media_decode_plumbing(spark, docs):
     )
 
 
-def test_media_resize_plumbing(spark, docs):
-    from logparser_spark.operators.multimodal import resize_media
+def test_media_resize_real_bmp(spark, docs):
+    from logparser_spark.operators.multimodal import decode_bmp, resize_media
 
     media = media_from_documents(docs.limit(40))
     resized = resize_media(media, target_w=32, target_h=48).toPandas()
     assert len(resized) == 40
     assert (resized["resized_w"] == 32).all() and (resized["resized_h"] == 48).all()
-    # deterministic stub re-encode: md5(payload) + dims tag, 16 + 6 bytes
-    assert all(len(bytes(p)) == 16 + len(b":32x48") for p in resized["payload"])
+    # image payloads are VALID BMPs at the target dims
+    for _, r in resized[resized["kind"] == "image"].iterrows():
+        px = decode_bmp(bytes(r["payload"]))
+        assert px.shape == (48, 32, 3)
+    # non-image payloads keep the md5-tag stand-in (16 + tag bytes)
+    others = resized[resized["kind"] != "image"]
+    assert all(len(bytes(p)) == 16 + len(b":32x48") for p in others["payload"])
     again = resize_media(media, target_w=32, target_h=48).toPandas()
     pd.testing.assert_frame_equal(
         resized.sort_values("media_id").reset_index(drop=True),
