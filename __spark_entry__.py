@@ -6,8 +6,8 @@ aliases.  Since r3 the flagship parse path (drain assignments, pipeline
 sink counts) and eight engine template tables are hash-checked against a
 DuckDB twin of the deterministic transcript generator
 (:mod:`logparser_spark.oracle_twin`); only shiso/logsig (size-dependent
-template splits) and multimodal (no codecs in the sandbox) remain
-rows-only.
+template splits) and multimodal (BMP/WAV decode is real since r3, but
+a byte-level codec has no SQL twin) remain rows-only.
 """
 
 from __future__ import annotations

@@ -107,3 +107,64 @@ def test_whole_stage_codegen_covers_masking(spark):
     plan = _plan(q)
     # "*(n)" prefixes mark WholeStageCodegen stages in this rendering
     assert plan.lstrip().startswith("*(1) Project [regexp_replace")
+
+
+def test_ivf_candidates_join_is_not_cartesian(spark):
+    """IVF probe->index candidate generation must be an equi-join on
+    centroid_id; only the k-row centroid table may appear in broadcast
+    nested loops (the documented argmin pattern)."""
+    from logparser_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = ann_ivf_topk(emb, emb.filter("vec_id < 5"), n_centroids=8, n_probe=2)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    # candidate equi-join present as a real join (hash or sort-merge)
+    assert "Join" in plan
+
+
+def test_cms_sketch_join_is_broadcast(spark):
+    """The grid-bounded sketch side of cms_estimate must broadcast."""
+    from logparser_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = cms_sketch(ev, "user_id", 4, 256)
+    est = cms_estimate(ev.select("user_id").distinct(), sk, "user_id", 4, 256)
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_route_write_plan_uses_rebalance(spark):
+    """route_rebalance=True must plan a rebalance exchange (AQE splits
+    oversized sinks / coalesces small ones at runtime), not a fixed
+    round-robin or user-pinned hash repartition."""
+    from logparser_spark.config import PipelineConfig
+    from logparser_spark.operators.enrich import enrich as _enrich
+    from logparser_spark.operators.route import with_sink_id
+    from logparser_spark.sources.transcripts import transcripts_df
+
+    cfg = PipelineConfig(num_partitions=8)
+    tdf = transcripts_df(spark, 2000, 20, 0)
+    routed = with_sink_id(
+        tdf.withColumn("event_id", F.lit("e")).withColumn("matched", F.lit(True)),
+        cfg,
+    )
+    # the pre-write exchange as route_write builds it
+    clustered = routed.hint("rebalance", "sink_id")
+    logical = clustered._jdf.queryExecution().analyzed().toString()
+    assert "RebalancePartitions" in logical
+
+
+def test_grouped_percentiles_single_width_shuffle(spark):
+    """Exact percentiles = ONE exchange on the group keys (the window
+    sort); no second shuffle for the rank filter."""
+    from logparser_spark.operators.aggregate import grouped_percentiles
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS v"
+    )
+    q = grouped_percentiles(ev, ["event_type"], "v")
+    plan = _plan(q)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan

@@ -1,0 +1,70 @@
+"""The north rule's deployment contract, tested literally: the job runs
+via ``spark-submit --py-files dist/logparser_spark.zip`` from a FOREIGN
+cwd (so imports resolve from the zip, not from the repo checkout) and
+writes the routed fan-out + metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_pyfiles_from_foreign_cwd():
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles_zip.py")],
+        check=True,
+        cwd=REPO,
+        capture_output=True,
+    )
+    zip_path = os.path.join(REPO, "dist", "logparser_spark.zip")
+    assert os.path.exists(zip_path)
+    out = tempfile.mkdtemp(prefix="submit_smoke_")
+    cwd = tempfile.mkdtemp(prefix="foreign_cwd_")  # NOT the repo
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # imports must come from --py-files
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master",
+            "local[4]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--synthetic-turns",
+            "5000",
+            "--out",
+            os.path.join(out, "routed"),
+        ],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # routed fan-out exists (ckpt_bucket= then sink_id= partition dirs),
+    # and the per-run metrics JSON was emitted; run_pipeline lays out
+    # <out>/{routed, _manifest, _templates.json, agg_sink_window}
+    routed = os.path.join(out, "routed", "routed")
+    buckets = [d for d in os.listdir(routed) if d.startswith("ckpt_bucket=")]
+    assert buckets, os.listdir(routed)
+    sinks = [
+        d
+        for d in os.listdir(os.path.join(routed, buckets[0]))
+        if d.startswith("sink_id=")
+    ]
+    assert sinks
+    metrics_line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert metrics_line, proc.stdout[-2000:]
+    m = json.loads(metrics_line[-1])
+    assert m["routed_rows"] == 5000 and m["n_templates"] > 0, m
