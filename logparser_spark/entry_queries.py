@@ -578,6 +578,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: duplicate-bigram fraction +
+    top-bigram share per doc, keep verdict on the rounded values."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.ngram_repetition(docs)
+
+
+SQL_REPETITION = TS.ngram_repetition_sql()
+
+
 # -- corpus curation (decontaminate / stratified sample / packing) ------------
 
 DECON_N = 5
@@ -1126,6 +1136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_filter": q_repetition_filter,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
@@ -1195,6 +1206,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "repetition_filter": SQL_REPETITION,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED,
     "pack_sequences": SQL_PACK,

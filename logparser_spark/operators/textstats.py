@@ -159,3 +159,90 @@ def bottomk_sketch_sql(col_sql: str, k: int = 8, shingle_n: int = 3) -> str:
         f"i -> array_to_string(list_slice({toks}, i, i + {shingle_n - 1}), ' ')))"
     )
     return f"list_slice(list_sort(list_transform({sh}, s -> md5(s))), 1, {k})"
+
+
+# -- repetition filters (Gopher-style, Rae et al. 2021 appendix A1.1) --------
+
+
+def ngrams_all_expr(col: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (duplicates kept — unlike the dedup family's
+    distinct shingles); a doc shorter than n tokens yields one gram."""
+    toks = _toks(col)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def ngrams_all_sql(col_sql: str, n: int = 2) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({col_sql}), '\\s+'),"
+        " t -> t <> '')"
+    )
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def ngram_repetition(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_dup_frac: float = 0.05,
+    max_top_share: float = 0.06,
+):
+    """Per-doc repetition signals + keep verdict, the classic pretraining
+    quality rule pair: ``dup_frac`` = fraction of n-grams that are
+    repeats (1 − distinct/total) and ``top_share`` = the most frequent
+    n-gram's share.  Both rounded to 4 dp and thresholded on the ROUNDED
+    value (repo float invariant) so both engines keep/drop identically.
+
+    Exploded-row shape (NOT per-row HOF counting — the repo's measured
+    lesson): explode grams → groupBy(doc, gram) → groupBy(doc), both
+    map-side combinable; shuffle keys are high-cardinality so no skew.
+    """
+    grams = docs.select(id_col, F.explode(ngrams_all_expr(text_col, n)).alias("gram"))
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("_dn"),
+        F.max("c").alias("_topc"),
+    )
+    dup = F.round(1 - F.col("_dn") / F.col("total_ngrams").cast("double"), 4)
+    top = F.round(F.col("_topc") / F.col("total_ngrams").cast("double"), 4)
+    return agg.select(
+        id_col,
+        "total_ngrams",
+        dup.alias("dup_frac"),
+        top.alias("top_share"),
+        ((dup <= max_dup_frac) & (top <= max_top_share)).alias("keep"),
+    )
+
+
+def ngram_repetition_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_dup_frac: float = 0.05,
+    max_top_share: float = 0.06,
+) -> str:
+    """DuckDB-SQL twin of :func:`ngram_repetition`."""
+    grams = ngrams_all_sql(text_col, n)
+    return f"""
+WITH g AS (
+  SELECT {id_col}, unnest({grams}) AS gram FROM {src}),
+per AS (SELECT {id_col}, gram, count(*) AS c FROM g GROUP BY {id_col}, gram),
+agg AS (SELECT {id_col}, CAST(sum(c) AS BIGINT) AS total_ngrams,
+               count(*) AS dn, max(c) AS topc
+        FROM per GROUP BY {id_col})
+SELECT {id_col}, total_ngrams,
+       round(1 - dn / CAST(total_ngrams AS DOUBLE), 4) AS dup_frac,
+       round(topc / CAST(total_ngrams AS DOUBLE), 4) AS top_share,
+       (round(1 - dn / CAST(total_ngrams AS DOUBLE), 4) <= {max_dup_frac}
+        AND round(topc / CAST(total_ngrams AS DOUBLE), 4) <= {max_top_share})
+         AS keep
+FROM agg
+"""

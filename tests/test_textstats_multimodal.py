@@ -155,3 +155,46 @@ def test_frame_sampling_plan(spark, docs):
     assert (pdf["frame_idx"] % 5 == 0).all()
     n_videos = media.filter("kind = 'video'").count()
     assert pdf["media_id"].nunique() == n_videos
+
+
+def test_ngram_repetition_hand_computed(spark):
+    from logparser_spark.operators.textstats import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),            # 3 bigrams, all distinct
+            (3, "hi"),                 # shorter than n -> 1 gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_repetition(df, n=2).collect()}
+    r1 = got[1]
+    assert r1["total_ngrams"] == 5 and r1["dup_frac"] == 0.6
+    assert r1["top_share"] == 0.6 and not r1["keep"]  # 'a b' appears 3/5
+    r2 = got[2]
+    assert r2["total_ngrams"] == 3 and r2["dup_frac"] == 0.0
+    assert not r2["keep"]  # top_share 1/3 > 0.06
+    r3 = got[3]
+    assert r3["total_ngrams"] == 1 and r3["top_share"] == 1.0
+
+
+def test_ngram_repetition_matches_sql_twin(spark, docs):
+    from logparser_spark.operators.textstats import (
+        ngram_repetition,
+        ngram_repetition_sql,
+    )
+
+    got = (
+        ngram_repetition(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(ngram_repetition_sql())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _cmp(got, want)
+    assert 0 < got["keep"].sum() < len(got)  # both branches exercised
