@@ -231,3 +231,49 @@ def run_streaming_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cms_cells(
+    stream: DataFrame,
+    key_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-event-time-window count-min sketch cells over a stream:
+    (win_start, row, col, cnt).
+
+    The CMS is mergeable by cell-wise addition, which is exactly what a
+    watermarked streaming groupBy does across micro-batches — so the
+    sketch state per window is the GRID (≤ depth·width rows), constant
+    regardless of stream volume or key cardinality, and a finalized
+    window's cells equal the batch :func:`~logparser_spark.operators.
+    sketches.cms_sketch` over that window's rows (pinned by test).
+    Heavy-hitter extraction then runs as a batch read of the emitted
+    cells joined with candidate keys.
+    """
+    from logparser_spark.operators.sketches import _cms_col
+
+    k = F.col(key_col).cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _cms_col(k, i, width).alias("col")
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("_c")
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("ts", cells)
+        .groupBy(
+            F.window("ts", window_duration),
+            F.col("_c.row").alias("row"),
+            F.col("_c.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "row", "col", "cnt")
+    )

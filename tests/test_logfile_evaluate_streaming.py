@@ -438,3 +438,57 @@ def test_streaming_route_write_matches_batch_and_resumes(spark):
         assert spark.read.parquet(s_out).count() == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cms_cells_equal_batch_sketch(spark):
+    """A finalized window's streaming CMS cells == the batch sketch over
+    that window's rows (cell-wise mergeability across micro-batches)."""
+    from logparser_spark.operators.sketches import cms_sketch
+    from logparser_spark.sources.transcripts import transcripts_df
+    from logparser_spark.streaming.stream import streaming_cms_cells
+
+    tdf = transcripts_df(spark, 3000, 30, 0)
+    d = tempfile.mkdtemp()
+    in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+    tdf.coalesce(2).write.parquet(in_path)
+    stream = spark.readStream.schema(tdf.schema).parquet(in_path)
+    q = (
+        streaming_cms_cells(stream, "role", "1 hour", "0 seconds", 4, 64)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_path)
+    static = spark.read.parquet(in_path)
+    # batch twin: the same grid per window, built by the batch operator
+    from pyspark.sql import functions as FF
+
+    from datetime import timedelta
+
+    all_wins = sorted(r["w"] for r in static.select(
+        FF.window("ts", "1 hour")["start"].alias("w")).distinct().collect())
+    max_ts = static.agg(FF.max("ts")).first()[0]
+    # append mode emits a window only once the watermark passes its END;
+    # the tail window holding max_ts never finalizes in availableNow
+    finalized = [w for w in all_wins if w + timedelta(hours=1) <= max_ts]
+    emitted = sorted(r["w"] for r in got.select(
+        FF.col("win_start").alias("w")).distinct().collect())
+    assert emitted == finalized and finalized
+    for w in finalized:
+        rows = static.filter(FF.window("ts", "1 hour")["start"] == w)
+        want = {
+            (r["row"], r["col"], r["cnt"])
+            for r in cms_sketch(rows, "role", 4, 64).collect()
+        }
+        have = {
+            (r["row"], r["col"], r["cnt"])
+            for r in got.filter(FF.col("win_start") == w).collect()
+        }
+        assert have == want, w
+    # grid bound: per window at most depth*width cells
+    per_win = got.groupBy("win_start").count().collect()
+    assert all(r["count"] <= 4 * 64 for r in per_win)
