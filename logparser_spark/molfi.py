@@ -290,13 +290,18 @@ def _evolve_group(
     # representatives proportional to its size) plus the heaviest texts
     # (so high-weight messages always influence the objectives).
     ordered = sorted(msgs)
-    cap = params.sample_cap
+    cap = max(params.sample_cap, 2)
     if len(ordered) <= cap:
         sample = ordered
     else:
-        stride = len(ordered) / (cap - 8)
-        picks = {int(i * stride) for i in range(cap - 8)}
-        heavy = sorted(range(len(ordered)), key=lambda i: (-ordered[i][1], i))[:8]
+        # heavy-pick count degrades gracefully for small caps (cap <= 8
+        # would otherwise zero/negate the stride denominator)
+        n_heavy = min(8, cap // 2)
+        stride = len(ordered) / (cap - n_heavy)
+        picks = {int(i * stride) for i in range(cap - n_heavy)}
+        heavy = sorted(
+            range(len(ordered)), key=lambda i: (-ordered[i][1], i)
+        )[:n_heavy]
         sample = [ordered[i] for i in sorted(picks | set(heavy))]
     uniq = [m for m, _ in sample]
 

@@ -112,6 +112,22 @@ def turn_window_counts(df: DataFrame, cfg: PipelineConfig | None = None) -> Data
     return out.select("conv_id", "turn_bucket", "event_id", F.col("n").alias("n_turns"))
 
 
+#: percentile fractions are interpreted at 4-decimal precision so the
+#: rank is computed in EXACT integer arithmetic on both engines:
+#: rank = ceil(p_num * n / 10_000) = (p_num*n + 9_999) div 10_000.
+#: (Double ``ceil(p*n)`` can land one rank high when the product's
+#: binary representation sits a hair above the exact value, e.g.
+#: p=0.07, n=100 → 7.0000000000000007 → rank 8.)
+_PCT_DENOM = 10_000
+
+
+def _pct_num(p: float) -> int:
+    num = round(p * _PCT_DENOM)
+    if not 0 < num <= _PCT_DENOM:
+        raise ValueError(f"percentile fraction {p} outside (0, 1]")
+    return num
+
+
 def grouped_percentiles(
     df: DataFrame,
     keys: list[str],
@@ -122,39 +138,53 @@ def grouped_percentiles(
     p-th percentile is the ``ceil(p*n)``-th smallest value (duplicates
     counted) — ``percentile_disc`` semantics, engine-portable because it
     selects an EXISTING value by integer rank instead of interpolating
-    floats.
+    floats.  The rank itself is exact integer arithmetic (see
+    ``_PCT_DENOM``), never a double ``ceil``.
 
     Output long form: (keys…, pct string like 'p95', ``value_col``).
 
-    Scale shape: one shuffle on ``keys`` + per-group sort (the window) —
-    the lower bound for EXACT percentiles.  Ties rank arbitrarily but
-    the selected VALUE at rank k is the k-th order statistic either way,
-    so the output is deterministic.  For sketch-accuracy-is-fine paths
-    use ``F.approx_percentile`` (t-digest, no cross-engine oracle).
+    Scale shape: ``groupBy(keys, value).count()`` first (map-side
+    combinable hash aggregate), then a cumulative count over the DISTINCT
+    values within each key — the per-group window sorts at most
+    |value domain| rows, not |group rows|, so a Zipf-head group never
+    lands in one task as raw rows.  The rank-k value is the first
+    distinct value whose cumulative count reaches k.  This is the
+    scale-safe exact plan for bounded-cardinality values (cents bigints
+    here); for sketch-accuracy-is-fine paths use ``F.approx_percentile``
+    (t-digest, no cross-engine oracle).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    agg = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy(*keys)
-    ranked = df.select(*keys, value_col).withColumn(
-        "_rn", F.row_number().over(w)
-    ).withColumn("_n", F.count(F.lit(1)).over(wn))
+    cum = agg.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(wn)
+    )
     targets = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(f"p{round(p * 100)}").alias("pct"),
-                    F.lit(float(p)).alias("_p"),
+                    F.lit(_pct_num(p)).alias("pnum"),
                 )
                 for p in ps
             ]
         )
     ).alias("_t")
-    return (
-        ranked.select(*keys, value_col, "_rn", "_n", targets)
-        .filter(F.col("_rn") == F.ceil(F.col("_t._p") * F.col("_n")))
-        .select(*keys, F.col("_t.pct").alias("pct"), value_col)
+    # integer division via expr (`div`), not float `/`
+    with_rank = cum.select(*keys, value_col, "_cnt", "_cum", "_n", targets).withColumn(
+        "_rank",
+        F.expr(f"(_t.pnum * _n + {_PCT_DENOM - 1}) div {_PCT_DENOM}"),
     )
+    return with_rank.filter(
+        (F.col("_cum") >= F.col("_rank"))
+        & (F.col("_cum") - F.col("_cnt") < F.col("_rank"))
+    ).select(*keys, F.col("_t.pct").alias("pct"), value_col)
 
 
 def grouped_percentiles_sql(
@@ -164,18 +194,23 @@ def grouped_percentiles_sql(
     value_alias: str,
     ps: tuple[float, ...] = (0.5, 0.95, 0.99),
 ) -> str:
-    """DuckDB-SQL twin of :func:`grouped_percentiles` (same nearest-rank
-    selection; ``ceil(p*n)`` computed in double on both engines, so even
-    a representation epsilon rounds identically)."""
+    """DuckDB-SQL twin of :func:`grouped_percentiles` (same pre-aggregated
+    cumulative-count selection, same exact integer rank arithmetic)."""
     ks = ", ".join(keys)
-    vals = ", ".join(f"('p{round(p * 100)}', {float(p)})" for p in ps)
+    vals = ", ".join(f"('p{round(p * 100)}', {_pct_num(p)})" for p in ps)
+    d = _PCT_DENOM
     return f"""
-WITH ranked AS (
-  SELECT {ks}, {value_expr} AS {value_alias},
-         row_number() OVER (PARTITION BY {ks} ORDER BY {value_expr}) AS rn,
-         count(*) OVER (PARTITION BY {ks}) AS n
-  FROM {src})
+WITH agg AS (
+  SELECT {ks}, {value_expr} AS {value_alias}, count(*) AS cnt
+  FROM {src} GROUP BY {ks}, {value_alias}),
+cum AS (
+  SELECT {ks}, {value_alias}, cnt,
+         sum(cnt) OVER (PARTITION BY {ks} ORDER BY {value_alias}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY {ks}) AS n
+  FROM agg)
 SELECT {ks}, t.pct, {value_alias}
-FROM ranked CROSS JOIN (VALUES {vals}) t(pct, p)
-WHERE rn = CAST(ceil(t.p * n) AS BIGINT)
+FROM cum CROSS JOIN (VALUES {vals}) t(pct, pnum)
+WHERE cum >= (t.pnum * n + {d - 1}) // {d}
+  AND cum - cnt < (t.pnum * n + {d - 1}) // {d}
 """

@@ -364,6 +364,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    on_nonconverged: str = "error",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components of the undirected pair graph, labeled by the component's
@@ -403,6 +404,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -422,7 +424,25 @@ def duplicate_clusters(
         )
         labels = upd.select("node", "label")
         if upd.filter(F.col("label") < F.col("_old")).count() == 0:
+            converged = True
             break
+    if not converged:
+        # A component with diameter > max_iters would return SPLIT
+        # clusters — a silently wrong answer (and an opaque downstream
+        # hash-gate failure vs the exact recursive-CTE twin).  Mirror the
+        # loud-failure policy of mine_templates/lke_fit.
+        msg = (
+            f"duplicate_clusters: min-label propagation did not reach the "
+            f"fixpoint within max_iters={max_iters} rounds — a component "
+            f"with diameter > {max_iters} exists; raise max_iters (or "
+            "switch to the large-star/small-star variant for adversarial "
+            "chain graphs)"
+        )
+        if on_nonconverged == "error":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )

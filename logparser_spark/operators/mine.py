@@ -148,23 +148,41 @@ def mine_templates(
     if sample_one_in > 1:
         src = src.filter(bucket_expr(partition_col, sample_one_in) == 0)
     if strategy in BATCH_STRATEGIES and unique_cap is not None:
-        est = src.agg(F.approx_count_distinct("masked", 0.02).alias("n")).first()["n"]
-        if est > unique_cap:
-            if cap_action == "sample":
-                import math
+        # cap_action='sample' RE-VERIFIES after each escalation: the
+        # filter drops whole partition_col groups, and when unique-text
+        # cardinality is not proportional to group count (one giant
+        # group holding most of the distinct texts) a single
+        # proportional escalation can land above the cap — which would
+        # defeat the guard and collect the over-cap set anyway.  Bounded
+        # escalation attempts, then loud failure.
+        import math
 
-                factor = math.ceil(est / unique_cap)
+        for attempt in range(3 if cap_action == "sample" else 1):
+            est = src.agg(
+                F.approx_count_distinct("masked", 0.02).alias("n")
+            ).first()["n"]
+            if est <= unique_cap:
+                break
+            if cap_action == "sample" and attempt < 2:
+                factor = max(math.ceil(est / unique_cap), 2)
                 sample_one_in *= factor
                 src = src.filter(bucket_expr(partition_col, sample_one_in) == 0)
-            else:
-                raise ValueError(
-                    f"mine_templates[{strategy}]: ~{est:,} unique masked texts "
-                    f"exceed unique_cap={unique_cap:,} — the batch-kernel "
-                    "driver fit would collect them all. Masking likely "
-                    "misses this corpus' parameters: extend rex, raise "
-                    "sample_one_in, or pass cap_action='sample' to "
-                    "auto-escalate the sample (unique_cap=None to override)."
+                continue
+            raise ValueError(
+                f"mine_templates[{strategy}]: ~{est:,} unique masked texts "
+                f"exceed unique_cap={unique_cap:,} — the batch-kernel "
+                "driver fit would collect them all"
+                + (
+                    f" (still over cap after escalating the sample to "
+                    f"one-in-{sample_one_in})"
+                    if cap_action == "sample"
+                    else ""
                 )
+                + ". Masking likely misses this corpus' parameters: "
+                "extend rex, raise sample_one_in, or pass "
+                "cap_action='sample' to auto-escalate the sample "
+                "(unique_cap=None to override)."
+            )
     cols = list(dict.fromkeys([*order_cols, "masked"]))
     # Skew guard: partitioning by conv alone puts a dominant conversation
     # (Zipf head) in ONE task, and that straggler becomes the stage time

@@ -102,10 +102,36 @@ def route_write(df: DataFrame, path: str, cfg: PipelineConfig | None = None,
             F.pmod(F.hash("conv_id", "turn_idx"), F.lit(sub_buckets)),
         )
     if tpl_map is not None:
+        # Fail fast on KB coverage gaps: ``templates`` must cover every
+        # MATCHED event_id (i.e. be the exact KB assign_templates used) —
+        # a stale/partial KB would otherwise persist NULL template
+        # strings silently.  raise_error sits in the unreachable branch
+        # of the coalesce, so the check costs nothing on the happy path
+        # and aborts the write job loudly on the first uncovered row.
         cols = clustered.columns
         clustered = (
             clustered.join(F.broadcast(tpl_map), "event_id", "left")
-            .withColumn("template", F.coalesce("_tpl", "template"))
+            .withColumn(
+                "template",
+                F.when(~F.col("matched"), F.col("template")).otherwise(
+                    F.coalesce(
+                        "_tpl",
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "route_write: templates KB does not cover "
+                                    "matched event_id "
+                                ),
+                                F.col("event_id"),
+                                F.lit(
+                                    " — pass the exact KB used by "
+                                    "assign_templates"
+                                ),
+                            )
+                        ),
+                    )
+                ),
+            )
             .select(*cols)
         )
     (

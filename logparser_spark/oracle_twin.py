@@ -26,7 +26,8 @@ engine's template table against this twin) drain, spell, iplom, ael,
 logmine and lke all converge to exactly this
 20-template set at every corpus size; lenma merges bank 15+19 (both
 ``… <*> ms`` tails) into one template; shiso and logsig produce
-size-dependent extra splits and stay rows-only.
+size-dependent extra splits, so their queries mine a PINNED 4000-turn
+corpus and hash-check against the size-pinned literal tables below.
 
 Scale note: the SQL twin generates ``n_turns`` rows inside DuckDB — it
 is an *oracle*, used at sf≤0.01 (≤40 000 turns) by the driver gate; the
@@ -161,6 +162,90 @@ SELECT sink_id, win_start, event_id, CAST(count(*) AS BIGINT) AS n_turns
 FROM assigned
 GROUP BY sink_id, win_start, event_id
 """
+
+
+# -- size-pinned literal oracles (shiso / logsig) ---------------------------
+#
+# shiso and logsig split templates in size-dependent ways (capacity-tree
+# node splits / signature-group assignment drift), so no corpus-size-
+# parametric SQL derivation exists.  Their driver queries therefore mine
+# a PINNED 4000-turn corpus (``transcripts_df(n_turns=4000, n_convs=200,
+# skew_share_pct=20)`` — the sf0.001 shape — at every sf), which makes
+# the template table a fixed literal set: the engines are deterministic
+# end-to-end (distributed == sequential, pinned by tests/test_shiso.py /
+# test_logsig.py), so the output below is frozen once and re-verified on
+# every run of tests/test_entry_oracle_parity.py.  Shiso keeps two
+# clusters that RENDER the same template for three bank lines (same
+# event_id, separate counts) — the literal table preserves those rows.
+
+SHISO_PINNED_4000: tuple[tuple[str, int], ...] = (
+    ("Exception in receiveBlock for block <*> java.io.IOException: Connection reset", 199),
+    ("PacketResponder <*> for block <*> terminating", 203),
+    ("Received block <*> of size <*> from <*>", 200),
+    ("Verification succeeded for <*>", 199),
+    ("assistant response generated tokens=<*> latency=<*> ms", 199),
+    ("broadcast table <*> size <*> bytes", 200),
+    ("broadcast table <*> size <*> bytes", 2),
+    ("cache miss for key <*> shard <*>", 203),
+    ("compaction of level <*> finished bytes=<*>", 200),
+    ("error code <*> while opening /srv/job/<*>/data", 202),
+    ("heartbeat from worker <*> lag <*> ms", 199),
+    ("planning query <*> with <*> joins", 197),
+    ("planning query <*> with <*> joins", 2),
+    ("query <*> finished in <*> ms rows=<*>", 202),
+    ("retry <*> of <*> for request <*>", 199),
+    ("scheduler assigned task <*> to worker <*>", 199),
+    ("session <*> expired after <*> ms", 199),
+    ("shuffle spill <*> bytes in stage <*>", 199),
+    ("tool call <*> finished status <*> in <*> ms", 200),
+    ("tool call <*> started with payload <*>", 199),
+    ("user <*> logged in from <*>", 196),
+    ("user <*> logged in from <*>", 3),
+    ("writing checkpoint <*> to /srv/job/<*>/ckpt", 199),
+)
+
+LOGSIG_PINNED_4000: tuple[tuple[str, int], ...] = (
+    ("Exception in receiveBlock for block <*> java.io.IOException: Connection reset", 199),
+    ("PacketResponder <*> for block terminating", 203),
+    ("Received block of <*> from size", 399),
+    ("Verification succeeded for <*>", 199),
+    ("assistant response generated tokens=<*> latency=<*> ms", 199),
+    ("broadcast table size <*> bytes", 202),
+    ("cache miss for key <*> shard", 203),
+    ("compaction of level <*> finished bytes=<*>", 200),
+    ("error code <*> while opening /srv/job/<*>/data", 202),
+    ("planning query with <*> joins", 199),
+    ("query finished in <*> ms rows=<*>", 202),
+    ("retry <*> of for request", 199),
+    ("scheduler assigned task <*> to worker", 199),
+    ("session <*> expired after ms", 199),
+    ("shuffle spill <*> bytes in stage", 199),
+    ("tool call none finished status <*> in ms", 200),
+    ("tool call none started with payload <*>", 199),
+    ("user logged in from <*>", 199),
+    ("writing checkpoint <*> to /srv/job/<*>/ckpt", 199),
+)
+
+PINNED_TEMPLATE_TABLES: dict[str, tuple[tuple[str, int], ...]] = {
+    "shiso": SHISO_PINNED_4000,
+    "logsig": LOGSIG_PINNED_4000,
+}
+
+#: the corpus size the pinned tables were mined at (and that the
+#: corresponding queries() entries mine at, at every sf)
+PINNED_N_TURNS = 4_000
+
+
+def sql_pinned_template_table(engine: str) -> str:
+    """Literal (event_id, template, occurrences) oracle for an engine
+    whose driver query mines the PINNED_N_TURNS corpus."""
+    rows = PINNED_TEMPLATE_TABLES[engine]
+    vals = ", ".join(f"('{t}', {c})" for t, c in rows)
+    return (
+        "SELECT substring(md5(template), 1, 8) AS event_id, template, "
+        "CAST(occurrences AS BIGINT) AS occurrences "
+        f"FROM (VALUES {vals}) t(template, occurrences)"
+    )
 
 
 def sql_template_table(engine: str) -> str:

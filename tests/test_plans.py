@@ -156,9 +156,16 @@ def test_route_write_plan_uses_rebalance(spark):
     assert "RebalancePartitions" in logical
 
 
-def test_grouped_percentiles_single_width_shuffle(spark):
-    """Exact percentiles = ONE exchange on the group keys (the window
-    sort); no second shuffle for the rank filter."""
+def test_grouped_percentiles_preaggregates_before_window(spark):
+    """VERDICT r3 #3: the per-group window must sort pre-aggregated
+    (key, value) COUNT rows — bounded by the value domain — never the
+    raw rows (a Zipf-head group's raw rows in one sort task is the
+    skew-killer the rest of the repo salts away).
+
+    Pinned shape: exchange #1 on (keys, value) feeding the hash
+    aggregate (map-side partial combine spreads a hot key over all
+    mappers), exchange #2 on keys feeding the window over the tiny
+    distinct-value frame.  No row_number over raw rows anywhere."""
     from logparser_spark.operators.aggregate import grouped_percentiles
 
     ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
@@ -166,5 +173,10 @@ def test_grouped_percentiles_single_width_shuffle(spark):
     )
     q = grouped_percentiles(ev, ["event_type"], "v")
     plan = _plan(q)
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "row_number" not in plan, plan
+    # the window's sort consumes the aggregate, not the scan: the final
+    # HashAggregate appears below the Window in the plan tree rendering
+    win_pos = plan.index("Window")
+    agg_after_window_text = plan[win_pos:]
+    assert "HashAggregate" in agg_after_window_text, plan
