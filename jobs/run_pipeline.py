@@ -38,6 +38,11 @@ def main() -> None:
                          "assign → route fan-out → windowed counts over it "
                          "(availableNow trigger; checkpoints under <out>/_ckpt "
                          "make re-runs resume, not recompute)")
+    ap.add_argument("--stream-curation", action="store_true",
+                    help="with --stream: also run the curation operators "
+                         "(Gopher repetition stats + decontamination vs an "
+                         "eval set sampled from the batch read) over the "
+                         "turn-text stream via foreachBatch")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +73,8 @@ def main() -> None:
     if args.stream:
         if not args.input:
             raise SystemExit("--stream needs --input (a parquet directory source)")
+        from pyspark.sql import functions as F
+
         from logparser_spark.operators.mine import mine_templates
         from logparser_spark.streaming.stream import (
             read_transcript_stream,
@@ -98,8 +105,26 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
+        cur_path = None
+        if args.stream_curation:
+            from logparser_spark.streaming.stream import streaming_curation_write
+
+            # doc_id = stable per-turn key; eval set = a deterministic
+            # 1-in-41 slice of the batch read (stands in for a real
+            # benchmark table)
+            doc_stream = read_transcript_stream(spark, args.input).select(
+                F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+                F.col("text"),
+            )
+            bench = transcripts.filter(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(41)) == 0
+            ).select("text")
+            cur_path = f"{args.out}/curated"
+            q_cur = streaming_curation_write(doc_stream, bench, cur_path)
         q_route.awaitTermination()
         q_agg.awaitTermination()
+        if args.stream_curation:
+            q_cur.awaitTermination()
         print(
             json.dumps(
                 {
@@ -107,6 +132,9 @@ def main() -> None:
                     "routed_rows": spark.read.parquet(f"{args.out}/routed").count(),
                     "n_templates": len(clusters),
                     "agg_path": agg_path,
+                    "curated_rows": (
+                        spark.read.parquet(cur_path).count() if cur_path else None
+                    ),
                 }
             )
         )

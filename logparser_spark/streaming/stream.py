@@ -277,3 +277,58 @@ def streaming_cms_cells(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("win_start"), "row", "col", "cnt")
     )
+
+
+def streaming_curation_write(
+    docs_stream: DataFrame,
+    bench: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+    available_now: bool = True,
+):
+    """Micro-batch curation: per-doc Gopher repetition stats + benchmark
+    decontamination flags over a document STREAM.
+
+    Both operators are doc-local (each doc's text arrives whole in one
+    row), so the batch implementations apply to every micro-batch
+    unchanged via ``foreachBatch`` — the standard Spark pattern for
+    composing batch relational operators into Structured Streaming
+    without re-deriving streaming-safe plans.  ``bench`` is a static
+    frame (stream-static composition); its distinct n-grams are tiny by
+    construction (an eval set).
+
+    Exactly-once: each micro-batch overwrites its own
+    ``batch_id=<epoch>`` partition directory, so a replayed epoch (the
+    at-least-once case ``foreachBatch`` documents) rewrites the same
+    files instead of appending duplicates — the idempotent-sink
+    construction.  Readers get all rows via partition discovery on
+    ``path``.
+    """
+    from logparser_spark.operators.curation import decontaminate
+    from logparser_spark.operators.textstats import ngram_repetition
+
+    def _curate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = ngram_repetition(batch_df, id_col, text_col)
+        dec = decontaminate(
+            batch_df.select(id_col, text_col),
+            bench,
+            id_col,
+            text_col,
+            n=n,
+            min_overlap=min_overlap,
+        )
+        rep.join(dec, id_col).write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(_curate).option(
+        "checkpointLocation", f"{path}_ckpt"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -97,8 +97,11 @@ def test_line_id_multi_file_directory(spark):
     try:
         # a.log is SMALL, b.log is LARGE and split into several
         # partitions: size-desc packing puts b's splits first, so a
-        # partition-id-only offset scheme would misnumber a.log
-        sizes = {"a.log": 7, "b.log": 4000}
+        # partition-id-only offset scheme would misnumber a.log.
+        # c.log sorts AFTER the large file (path order a < b < c while
+        # size order is b > a > c) and is small enough to be packed
+        # into the same partition as other small files.
+        sizes = {"a.log": 7, "b.log": 4000, "c.log": 5}
         for name, n in sizes.items():
             with open(os.path.join(d, name), "w") as f:
                 for i in range(1, n + 1):
@@ -492,3 +495,48 @@ def test_streaming_cms_cells_equal_batch_sketch(spark):
     # grid bound: per window at most depth*width cells
     per_win = got.groupBy("win_start").count().collect()
     assert all(r["count"] <= 4 * 64 for r in per_win)
+
+
+def test_streaming_curation_matches_batch(spark):
+    """Curation operators (repetition_filter + decontaminate) compose in
+    micro-batch mode: the streamed per-doc stats equal the batch result
+    row-for-row, and a checkpoint-restart over the unchanged source adds
+    nothing (idempotent per-epoch sink)."""
+    from logparser_spark.operators.curation import decontaminate
+    from logparser_spark.operators.textstats import ngram_repetition
+    from logparser_spark.streaming.stream import streaming_curation_write
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path = os.path.join(d, "in"), os.path.join(d, "out")
+        # several input files => several micro-batch-visible splits
+        docs.repartition(4).write.parquet(in_path)
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(in_path)
+        q = streaming_curation_write(stream, bench, out_path)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out_path).drop("batch_id")
+        want = ngram_repetition(docs).join(
+            decontaminate(docs, bench, "doc_id", "text"), "doc_id"
+        )
+        assert sorted(got.columns) == sorted(want.columns)
+        cols = sorted(got.columns)
+        assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+        assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+        # restart over unchanged source: no duplicate rows
+        n = got.count()
+        q2 = streaming_curation_write(
+            spark.readStream.schema("doc_id long, text string").parquet(in_path),
+            bench,
+            out_path,
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_path).count() == n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

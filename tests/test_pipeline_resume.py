@@ -49,20 +49,28 @@ def test_full_run_then_noop_resume(spark, tdf):
         shutil.rmtree(out, ignore_errors=True)
 
 
-def test_kill_and_resume_is_exact(spark, tdf):
+@pytest.mark.parametrize("rebalance", [True, False], ids=["rebalance", "fixed_hash"])
+def test_kill_and_resume_is_exact(spark, tdf, rebalance):
+    """Both route-write exchange modes — AQE REBALANCE(sink_id) and the
+    fixed (sink_id, sub-bucket) hash fallback (route_rebalance=False,
+    config.py) — must resume byte-identically; the fallback path must
+    not rot untested (VERDICT r3 next-round #7)."""
+    cfg = PipelineConfig(
+        num_partitions=8, checkpoint_buckets=8, route_rebalance=rebalance
+    )
     ref_out = tempfile.mkdtemp(prefix="pipe_ref_")
     out = tempfile.mkdtemp(prefix="pipe_kill_")
     try:
-        run_pipeline(spark, tdf, ref_out, CFG)
+        run_pipeline(spark, tdf, ref_out, cfg)
         want = _routed_rows(spark, ref_out)
 
         # die after committing 3 of 8 buckets (output partially on disk)
         with pytest.raises(RuntimeError, match="injected failure"):
-            run_pipeline(spark, tdf, out, CFG, fail_after_buckets=3)
+            run_pipeline(spark, tdf, out, cfg, fail_after_buckets=3)
         assert len(committed_buckets(spark, out)) == 3
 
         # resume: remaining buckets processed, template set reused
-        r2 = run_pipeline(spark, tdf, out, CFG)
+        r2 = run_pipeline(spark, tdf, out, cfg)
         assert len(r2.buckets_done) == 5
         got = _routed_rows(spark, out)
         assert got.equals(want)              # byte-identical routed rows
