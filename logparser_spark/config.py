@@ -60,6 +60,7 @@ class PipelineConfig:
     turn_bucket: int = 10
     #: resume-checkpoint buckets (per-partition manifest granularity)
     checkpoint_buckets: int = 16
-    #: output format for sinks (parquet in the sandbox; "iceberg" on a
-    #: real cluster — the writer is format-pluggable)
+    #: output format for sinks — a real seam: write AND read-back both go
+    #: through it ("orc" round-trip is pinned by test; "iceberg" on a
+    #: real cluster with the runtime jar on the classpath)
     sink_format: str = "parquet"

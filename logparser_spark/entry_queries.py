@@ -5,8 +5,10 @@ extensions) gets a ``queries()`` entry and a matching ``oracle_sql()``
 string over the same parquet tables.  Aliases are kept identical on both
 sides — the driver hash-compares values after sorting columns by name.
 
-Non-SQL-expressible operators (the Drain mining itself, ANN,
-multimodal decode) are registered without oracles → rows-only checks.
+Since r4 every registered query carries an oracle: the last holdout,
+multimodal decode, became hash-checkable once the codecs were real —
+its decoded dims/format are deterministic functions of the generator
+inputs, so a plain-SQL twin verifies the encode→decode round-trip.
 """
 
 from __future__ import annotations
@@ -283,6 +285,22 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CMS_HH = cms_heavy_hitters_sql("events", "user_id", **CMS_KW)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct users — m=256 mergeable
+    registers, md5-based so the DuckDB twin computes the IDENTICAL
+    registers and estimate (hash-checked approximate-distinct)."""
+    from logparser_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id", log2m=8)
+
+
+def _sql_hll_distinct() -> str:
+    from logparser_spark.operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql("events", ["event_type"], "user_id", log2m=8)
 
 
 SQL_WINDOWED = (
@@ -1169,8 +1187,40 @@ SQL_NEAR_DUPS = embedding_near_dups_sql(**NEAR_DUP_KW)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return decode_media(media_from_documents(docs)).select(
-        "media_id", "kind", "width", "height", "format"
+        "media_id",
+        "kind",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "format",
     )
+
+
+#: Hash-checkable since r4: every decoded field is a deterministic
+#: function of (doc_id, md5(text)) — image/audio dims and format come
+#: from the real BMP/PNG/WAV headers the generator encoded (so the
+#: oracle checks the encode→decode ROUND-TRIP, including the zlib
+#: inflate + unfilter of the PNG path), and the video stub's dims are
+#: md5-derived exactly as documented in multimodal._decode_image_batch.
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 8 + doc_id % 9
+            WHEN 1 THEN 64 + doc_id % 64
+            ELSE 16 + CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 64
+       END AS INT) AS width,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 8 + (doc_id * 7) % 9
+            WHEN 1 THEN 1
+            ELSE 16 + CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 64
+       END AS INT) AS height,
+       CASE doc_id % 3
+            WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0
+                             THEN 'bmp' ELSE 'png' END
+            WHEN 1 THEN 'wav' ELSE 'raw' END AS format
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1246,8 +1296,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "lfa_template_counts": q_lfa_template_counts,
     "slct_template_counts": q_slct_template_counts,
-    # rows-only (no codecs in the sandbox)
+    # hash-checkable since r4 (real BMP/PNG/WAV codecs; oracle = the
+    # generator's deterministic dims/format), parked here because the
+    # in-window 50 already cover distinct operators
     "multimodal_decode": q_multimodal_decode,
+    # r4: md5-based HyperLogLog (mergeable approximate-distinct)
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1286,6 +1340,8 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "knn_bruteforce": SQL_KNN,
     "grouping_accuracy": _sql_grouping_accuracy(),
+    "multimodal_decode": SQL_MULTIMODAL,
+    "hll_distinct": _sql_hll_distinct(),
 }
 
 
@@ -1326,7 +1382,8 @@ def _register_generator_twin_oracles() -> None:
     template set is a provable function of the bank become hash-checked.
     shiso/logsig produce size-dependent splits → their queries mine a
     PINNED corpus and check against size-pinned literal tables (r4);
-    only multimodal stays rows-only (no codecs in the sandbox)."""
+    with the r4 multimodal round-trip oracle, all 59 queries carry
+    oracles."""
     from logparser_spark import oracle_twin as tw
 
     ORACLES["drain_assignments"] = tw.sql_drain_assignments()

@@ -1,4 +1,4 @@
-"""Mergeable frequency sketches: count-min with heavy-hitter extraction.
+"""Mergeable sketches: count-min frequencies + HyperLogLog distinct counts.
 
 The count-min sketch (Cormode & Muthukrishnan, J. Algorithms '05) keeps a
 ``depth × width`` grid of counters; key k increments cell
@@ -12,6 +12,16 @@ combines to a constant-size partial per partition and merges by cell-wise
 addition — the shape you want for per-executor or per-window frequency
 state at 10^12 turns where the distinct-key set itself is shuffle-heavy.
 (Same motivation as ``textstats.bottom_k_sketch`` for distinct counts.)
+
+The HyperLogLog sketch (Flajolet, Fusy, Gandouet, Meunier — AofA '07)
+keeps ``m = 2^log2m`` registers per group; key k sets register
+``bucket(k)`` to max(ρ) where ρ = leading-zero run of the hash suffix
++ 1.  Registers merge by cell-wise MAX — the same mergeable-partial
+shape as the CMS grid, so per-group state is ``m`` rows regardless of
+key cardinality.  Unlike Spark's built-in ``approx_count_distinct``
+(whose HLL++ hash is JVM-private), this one is built on the repo's md5
+idiom end-to-end, so the DuckDB twin computes the IDENTICAL registers
+and estimate — a hash-checkable approximate-distinct operator.
 
 Determinism: hash rows use the repo's md5 bucket idiom
 (:func:`logparser_spark.functions.hashing.bucket_expr` — not Murmur3
@@ -117,6 +127,153 @@ def cms_heavy_hitters(
     return cms_estimate(distinct, sk, key_col, depth, width).filter(
         F.col("est") >= threshold
     )
+
+
+#: suffix width in hex chars (40 bits) — ρ ∈ [1, 41]
+_HLL_SUF_HEX = 10
+
+
+def _hll_alpha(m: int) -> float:
+    # bias-correction constant per the HLL paper §4 (m >= 128 branch
+    # covers every log2m this module accepts)
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    log2m: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: (*keys, bucket, r) with r = max ρ.
+
+    ``log2m`` must be a multiple of 4 (bucket = whole leading hex chars
+    of md5 — keeps the twin a plain string expression).  ρ is derived
+    from the NEXT 10 hex chars (a 40-bit suffix) purely with string ops
+    (strip leading '0's + a CASE on the first nonzero hex char), so no
+    engine-specific bit intrinsics are involved:
+
+        ρ = 4 · (#leading zero hex chars) + ⌈zeros in first nonzero⌉ + 1
+
+    Map-side this is a hash aggregate whose group count is bounded by
+    |groups| · m, not the data — the constant-size partial that makes
+    the sketch worth it at 10^12 rows; registers from disjoint splits
+    merge by the same groupBy-MAX.
+    """
+    bucket, rho = hll_cols(value_col, log2m)
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_cols(value_col: str, log2m: int = 8) -> tuple[Column, Column]:
+    """(bucket, ρ) expressions for one value — the per-row map step,
+    shared by the batch register builder and the streaming per-window
+    variant (which must group by the raw window expression itself)."""
+    if log2m % 4 or not 4 <= log2m <= 16:
+        raise ValueError("log2m must be a multiple of 4 in [4, 16]")
+    bucket_hex = log2m // 4
+    h = F.md5(F.col(value_col).cast("string"))
+    suf = F.substring(h, bucket_hex + 1, _HLL_SUF_HEX)
+    # regexp (not ltrim) — identical spelling to the DuckDB twin
+    stripped = F.regexp_replace(suf, "^0+", "")
+    lz = F.lit(_HLL_SUF_HEX) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length(stripped) == 0, 4 * _HLL_SUF_HEX + 1).otherwise(
+        4 * lz + extra + 1
+    )
+    bucket = F.conv(F.substring(h, 1, bucket_hex), 16, 10).cast("int")
+    return bucket, rho.cast("int")
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    log2m: int = 8,
+) -> DataFrame:
+    """Per-group approximate distinct count: (*keys, est, n_buckets).
+
+    Estimator per the HLL paper: E = α·m²/Σ2^(−reg) with the empty
+    registers contributing 2^0 each, switched to linear counting
+    m·ln(m/V) when E ≤ 2.5m and V (empty registers) > 0.  Every term is
+    either exact in binary doubles (2^−ρ sums) or rounded to 4 dp in the
+    output, per the repo's cross-engine float policy.  Relative error of
+    the raw estimator is ≈ 1.04/√m.
+    """
+    m = 1 << log2m
+    alpha = _hll_alpha(m)
+    regs = hll_registers(df, keys, value_col, log2m)
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+    )
+    v = F.lit(m) - F.col("n_buckets")  # empty registers
+    e_raw = F.lit(alpha * m * m) / (F.col("_s") + v.cast("double"))
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    return agg.select(
+        *keys,
+        F.round(est, 4).alias("est"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+    )
+
+
+def hll_distinct_sql(
+    src: str,
+    keys: list[str],
+    value_col: str,
+    log2m: int = 8,
+) -> str:
+    """DuckDB-SQL twin of :func:`hll_distinct` — identical md5 registers,
+    identical estimator arithmetic."""
+    bucket_hex = log2m // 4
+    m = 1 << log2m
+    # E-notation: DuckDB parses plain decimal literals as DECIMAL (which
+    # overflows when multiplied), but exponent literals as DOUBLE — and
+    # %.17e round-trips the exact python float Spark's F.lit ships
+    amm = f"{_hll_alpha(m) * m * m:.17e}"
+    ks = ", ".join(keys)
+    h = f"md5(CAST({value_col} AS VARCHAR))"
+    suf = f"substring({h}, {bucket_hex + 1}, {_HLL_SUF_HEX})"
+    stripped = f"regexp_replace({suf}, '^0+', '')"
+    return f"""
+WITH rho AS (
+  SELECT {ks},
+         CAST(('0x' || substring({h}, 1, {bucket_hex})) AS INT) AS bucket,
+         CASE WHEN length({stripped}) = 0 THEN {4 * _HLL_SUF_HEX + 1}
+              ELSE 4 * ({_HLL_SUF_HEX} - length({stripped}))
+                   + (CASE substring({stripped}, 1, 1)
+                      WHEN '1' THEN 3
+                      WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1
+                      WHEN '6' THEN 1 WHEN '7' THEN 1
+                      ELSE 0 END) + 1
+         END AS rho
+  FROM {src}),
+regs AS (
+  SELECT {ks}, bucket, max(rho) AS r FROM rho GROUP BY {ks}, bucket),
+agg AS (
+  SELECT {ks}, count(*) AS n_buckets, sum(power(2.0, -r)) AS s
+  FROM regs GROUP BY {ks})
+SELECT {ks},
+       round(CASE WHEN {amm} / (s + ({m} - n_buckets)) <= 2.5 * {m}
+                  AND n_buckets < {m}
+             THEN {float(m):.17e} * ln({m} / CAST({m} - n_buckets AS DOUBLE))
+             ELSE {amm} / (s + ({m} - n_buckets))
+             END, 4) AS est,
+       CAST(n_buckets AS BIGINT) AS n_buckets
+FROM agg
+"""
 
 
 def cms_heavy_hitters_sql(

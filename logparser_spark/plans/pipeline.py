@@ -99,7 +99,7 @@ def run_pipeline(
     if not todo:
         clusters = M.load_templates(out_dir) or []
         result.n_templates = len(clusters)
-        result.routed_rows = spark.read.parquet(routed_path).count()
+        result.routed_rows = spark.read.format(cfg.sink_format).load(routed_path).count()
         result.wall_sec = time.time() - t0
         return result
 
@@ -144,7 +144,7 @@ def run_pipeline(
 
     # -- commit manifests from read-back (ledger describes what's on disk) --
     wall = time.time() - t0
-    on_disk = spark.read.parquet(routed_path).filter(
+    on_disk = spark.read.format(cfg.sink_format).load(routed_path).filter(
         F.col("ckpt_bucket").isin([int(b) for b in todo])
     )
     commit = todo if fail_after_buckets is None else todo[:fail_after_buckets]
@@ -167,7 +167,7 @@ def aggregates_from_routed(spark: SparkSession, result: PipelineResult,
                            cfg: PipelineConfig | None = None) -> tuple[DataFrame, DataFrame]:
     """Final per-sink windowed aggregates over the committed routed table."""
     cfg = cfg or PipelineConfig()
-    routed = spark.read.parquet(result.routed_path)
+    routed = spark.read.format(cfg.sink_format).load(result.routed_path)
     committed = M.committed_buckets(spark, result.out_dir)
     routed = routed.filter(F.col("ckpt_bucket").isin([int(b) for b in committed]))
     return sink_window_counts(routed, cfg), turn_window_counts(routed, cfg)

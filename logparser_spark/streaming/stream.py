@@ -279,6 +279,37 @@ def streaming_cms_cells(
     )
 
 
+def streaming_hll_cells(
+    stream: DataFrame,
+    value_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    log2m: int = 8,
+) -> DataFrame:
+    """Per-event-time-window HyperLogLog registers over a stream:
+    (win_start, bucket, r).
+
+    HLL registers merge by cell-wise MAX, which is exactly what a
+    watermarked streaming ``groupBy(window, bucket).max(rho)`` computes
+    across micro-batches — so distinct-count state per window is at most
+    ``m = 2^log2m`` rows regardless of stream volume or cardinality, and
+    a finalized window's registers equal the batch
+    :func:`~logparser_spark.operators.sketches.hll_registers` over that
+    window's rows (pinned by test).  The estimate is then a batch read
+    of the emitted registers through the same estimator arithmetic.
+    """
+    from logparser_spark.operators.sketches import hll_cols
+
+    bucket, rho = hll_cols(value_col, log2m)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", window_duration), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("window.start").alias("win_start"), "bucket", "r")
+    )
+
+
 def streaming_curation_write(
     docs_stream: DataFrame,
     bench: DataFrame,

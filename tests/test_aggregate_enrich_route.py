@@ -58,6 +58,26 @@ def test_route_write_template_map_optimization_byte_equal(spark, tmp_path):
     assert b.filter("template IS NULL").count() == 0
 
 
+def test_route_write_sink_format_pluggable(spark, routed, tmp_path):
+    """``cfg.sink_format`` is a real seam, not a constant: the same
+    routed frame written as ORC (Spark's other built-in columnar
+    format) round-trips row-identically with the parquet output — the
+    construction an Iceberg/Delta writer would slot into on a cluster
+    (SURVEY Appendix; no Iceberg jar in this sandbox)."""
+    from logparser_spark.operators.route import route_write
+
+    pq, orc = str(tmp_path / "pq"), str(tmp_path / "orc")
+    route_write(routed, pq, CFG)
+    route_write(routed, orc, PipelineConfig(
+        num_partitions=8, salt_buckets=7, sink_format="orc"))
+    a = spark.read.parquet(pq)
+    b = spark.read.orc(orc)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
 def test_salted_equals_naive_on_skew(spark, routed):
     naive = (
         routed.groupBy("conv_id", "event_id").count().withColumnRenamed("count", "n")

@@ -497,6 +497,64 @@ def test_streaming_cms_cells_equal_batch_sketch(spark):
     assert all(r["count"] <= 4 * 64 for r in per_win)
 
 
+def test_streaming_hll_cells_equal_batch_registers(spark):
+    """A finalized window's streaming HLL registers == the batch
+    register table over that window's rows (cell-wise MAX mergeability
+    across micro-batches), and state is register-bounded per window."""
+    from datetime import timedelta
+
+    from logparser_spark.operators.sketches import hll_registers
+    from logparser_spark.sources.transcripts import transcripts_df
+    from logparser_spark.streaming.stream import streaming_hll_cells
+
+    tdf = transcripts_df(spark, 3000, 30, 0)
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+        tdf.coalesce(2).write.parquet(in_path)
+        stream = spark.readStream.schema(tdf.schema).parquet(in_path)
+        q = (
+            streaming_hll_cells(stream, "conv_id", "1 hour", "0 seconds", log2m=8)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out_path)
+        static = spark.read.parquet(in_path)
+        max_ts = static.agg(F.max("ts")).first()[0]
+        all_wins = sorted(
+            r["w"]
+            for r in static.select(
+                F.window("ts", "1 hour")["start"].alias("w")
+            ).distinct().collect()
+        )
+        finalized = [w for w in all_wins if w + timedelta(hours=1) <= max_ts]
+        emitted = sorted(
+            r["w"] for r in got.select(F.col("win_start").alias("w"))
+            .distinct().collect()
+        )
+        assert emitted == finalized and finalized
+        for w in finalized:
+            rows = static.filter(F.window("ts", "1 hour")["start"] == w)
+            want = {
+                (r["bucket"], r["r"])
+                for r in hll_registers(rows, [], "conv_id", 8).collect()
+            }
+            have = {
+                (r["bucket"], r["r"])
+                for r in got.filter(F.col("win_start") == w).collect()
+            }
+            assert have == want, w
+        per_win = got.groupBy("win_start").count().collect()
+        assert all(r["count"] <= 256 for r in per_win)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_curation_matches_batch(spark):
     """Curation operators (repetition_filter + decontaminate) compose in
     micro-batch mode: the streamed per-doc stats equal the batch result

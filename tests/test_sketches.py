@@ -1,16 +1,115 @@
-"""Count-min sketch: one-sided estimates, grid bound, heavy hitters."""
+"""CMS + HLL sketches: bounds, mergeability, cross-engine register equality."""
 
 from __future__ import annotations
 
+import hashlib
+import math
+
+import duckdb
 from pyspark.sql import functions as F
 
 from logparser_spark.operators.sketches import (
+    _hll_alpha,
     cms_estimate,
     cms_heavy_hitters,
     cms_sketch,
+    hll_distinct,
+    hll_distinct_sql,
+    hll_registers,
 )
 
 SF = "/root/testdata/sf0.001"
+
+
+def _py_hll(values, log2m: int = 8):
+    """Reference HLL in plain python — third implementation for the
+    cross-engine register/estimate agreement tests."""
+    m = 1 << log2m
+    bucket_hex = log2m // 4
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        b = int(h[:bucket_hex], 16)
+        suf = h[bucket_hex : bucket_hex + 10]
+        stripped = suf.lstrip("0")
+        if not stripped:
+            rho = 41
+        else:
+            extra = {"1": 3, "2": 2, "3": 2}.get(
+                stripped[0], 1 if stripped[0] in "4567" else 0
+            )
+            rho = 4 * (10 - len(stripped)) + extra + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    e = _hll_alpha(m) * m * m / s
+    v_empty = m - len(regs)
+    if e <= 2.5 * m and v_empty > 0:
+        e = float(m) * math.log(m / v_empty)
+    return regs, round(e, 4)
+
+
+def test_hll_registers_match_python_reference(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").cache()
+    got = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in hll_registers(ev, ["event_type"], "user_id").collect()
+    }
+    for etype in [r[0] for r in ev.select("event_type").distinct().collect()]:
+        vals = [
+            r[0]
+            for r in ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .collect()
+        ]
+        want, _ = _py_hll(vals)
+        mine = {b: r for (t, b), r in got.items() if t == etype}
+        assert mine == want, etype
+
+
+def test_hll_estimate_matches_duckdb_twin_exactly(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = (
+        hll_distinct(ev, ["event_type"], "user_id")
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    want = (
+        con.execute(hll_distinct_sql("events", ["event_type"], "user_id"))
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (got["est"] == want["est"]).all()
+    assert (got["n_buckets"] == want["n_buckets"]).all()
+
+
+def test_hll_error_bound_and_mergeability(spark):
+    # 20k distinct ids — the raw-estimator regime for m=256
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).alias("g"), F.concat(F.lit("u"), "id").alias("uid")
+    )
+    est = {r["g"]: r["est"] for r in hll_distinct(df, ["g"], "uid").collect()}
+    for g, e in est.items():
+        exact = 5_000
+        assert abs(e - exact) / exact < 3 * 1.04 / math.sqrt(256), (g, e)
+    # mergeability: registers of the union == cell-wise MAX of split
+    # registers (the property that makes per-split partials sound)
+    a = df.filter("id % 2 = 0")
+    b = df.filter("id % 2 = 1")
+    union_regs = hll_registers(df, ["g"], "uid")
+    merged = (
+        hll_registers(a, ["g"], "uid")
+        .unionAll(hll_registers(b, ["g"], "uid"))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    assert union_regs.exceptAll(merged).count() == 0
+    assert merged.exceptAll(union_regs).count() == 0
 
 
 def test_cms_never_undercounts_and_grid_bounded(spark):

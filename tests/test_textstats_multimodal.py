@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -105,17 +106,79 @@ def test_bmp_wav_codec_roundtrip():
     assert rate == 16000 and (got == pcm).all()
 
 
+def test_png_codec_roundtrip():
+    """The PNG codec is REAL: encode→decode is identity for every
+    supported color type, and decode undoes ALL FIVE spec filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from logparser_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in ((9, 7), (9, 7, 3), (9, 7, 4), (1, 1, 3), (2, 16, 3)):
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+    # hand-build an IDAT whose 5 scanlines use filters 0..4 (applied
+    # forward per PNG spec §6) — decode must reconstruct the pixels
+    px = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8).astype(np.int32)
+    ch, lines = 3, []
+    for y in range(5):
+        cur = px[y].reshape(-1)
+        prev = px[y - 1].reshape(-1) if y else np.zeros(18, np.int32)
+        a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if y == 0:
+            filt = cur
+        elif y == 1:
+            filt = cur - a
+        elif y == 2:
+            filt = cur - prev
+        elif y == 3:
+            filt = cur - ((a + prev) >> 1)
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            filt = cur - pred
+        lines.append(bytes([y]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    raw = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(raw) == px.astype(np.uint8)).all()
+
+    # chunk CRCs are verified
+    good = encode_png(rng.randint(0, 256, (4, 4, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
 def test_media_decode_real_formats(spark, docs):
     media = media_from_documents(docs.limit(50))
     decoded = decode_media(media)
     pdf = decoded.toPandas()
     assert len(pdf) == 50
-    # image rows decode as real BMPs, audio as real WAVs, video = stub
+    # image rows decode as real BMPs/PNGs, audio as real WAVs, video = stub
     by_kind = dict(pdf.groupby("kind")["format"].agg(set))
-    assert by_kind["image"] == {"bmp"} and by_kind["audio"] == {"wav"}
+    assert by_kind["image"] == {"bmp", "png"} and by_kind["audio"] == {"wav"}
     assert by_kind["video"] == {"raw"}
-    # BMP dims come from the actual header, per the generator's formula
+    # both encodings of the same pixels decode to the same feature recipe:
+    # dims come from the actual header, per the generator's formula
     imgs = pdf[pdf["kind"] == "image"]
+    assert (imgs["format"] == np.where((imgs["media_id"] // 3) % 2 == 0,
+                                       "bmp", "png")).all()
     assert (imgs["width"] == 8 + imgs["media_id"] % 9).all()
     assert (imgs["height"] == 8 + (imgs["media_id"] * 7) % 9).all()
     assert all(len(f) == 8 for f in pdf["feature"])
@@ -128,16 +191,24 @@ def test_media_decode_real_formats(spark, docs):
 
 
 def test_media_resize_real_bmp(spark, docs):
-    from logparser_spark.operators.multimodal import decode_bmp, resize_media
+    from logparser_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        resize_media,
+    )
 
     media = media_from_documents(docs.limit(40))
     resized = resize_media(media, target_w=32, target_h=48).toPandas()
     assert len(resized) == 40
     assert (resized["resized_w"] == 32).all() and (resized["resized_h"] == 48).all()
-    # image payloads are VALID BMPs at the target dims
+    # image payloads are VALID BMPs/PNGs (format preserved) at target dims
+    seen = set()
     for _, r in resized[resized["kind"] == "image"].iterrows():
-        px = decode_bmp(bytes(r["payload"]))
-        assert px.shape == (48, 32, 3)
+        raw = bytes(r["payload"])
+        dec = decode_bmp if raw[:2] == b"BM" else decode_png
+        seen.add(dec.__name__)
+        assert dec(raw).shape == (48, 32, 3)
+    assert seen == {"decode_bmp", "decode_png"}
     # non-image payloads keep the md5-tag stand-in (16 + tag bytes)
     others = resized[resized["kind"] != "image"]
     assert all(len(bytes(p)) == 16 + len(b":32x48") for p in others["payload"])
