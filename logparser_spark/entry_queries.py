@@ -689,6 +689,65 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping document chunks (context-window prep) —
+    pure narrow ops, integer ceil-div split identical to the twin."""
+    from logparser_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def _sql_chunk_documents() -> str:
+    from logparser_spark.operators.curation import chunk_documents_sql
+
+    return chunk_documents_sql()
+
+
+#: synthesized PII-bearing corpus: the synthetic `documents` table holds
+#: no PII shapes (a 0-redaction check would prove nothing — the
+#: logcluster lesson from r3), so the checked query CONSTRUCTS text with
+#: an email, an IPv4, an SSN and a phone per row from customer columns,
+#: with the identical expression on both engines, then redacts it.
+def _pii_src_spark(c: DataFrame) -> DataFrame:
+    k = F.col("c_custkey").cast("string")
+    k4 = F.lpad(F.pmod("c_custkey", F.lit(10000)).cast("string"), 4, "0")
+    return c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("contact "), F.col("c_name"),
+            F.lit(" at user"), k, F.lit("@corp.example.com via 10."),
+            F.pmod("c_custkey", F.lit(256)).cast("string"),
+            F.lit(".0.1 ssn 123-45-"), k4,
+            F.lit(" phone 555-867-"), k4,
+            F.lit(" note "), F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+
+
+_PII_SRC_SQL = (
+    "(SELECT c_custkey AS doc_id, "
+    "'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || "
+    "'@corp.example.com via 10.' || CAST(c_custkey % 256 AS VARCHAR) || "
+    "'.0.1 ssn 123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') "
+    "|| ' phone 555-867-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, "
+    "'0') || ' note ' || c_mktsegment AS text FROM customer) s"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/SSN/phone → typed tokens) over a
+    synthesized PII-bearing corpus; n_pii ≥ 4 per row by construction."""
+    from logparser_spark.operators.curation import pii_redact
+
+    return pii_redact(_pii_src_spark(_t(spark, sf_dir, "customer")))
+
+
+def _sql_pii_redact() -> str:
+    from logparser_spark.operators.curation import pii_redact_sql
+
+    return pii_redact_sql(_PII_SRC_SQL)
+
+
 _KEPT_SQL = (
     f"SELECT doc_id FROM ({SQL_DEDUP_CANONICAL}) WHERE doc_id < {DUP_OFFSET}"
 )
@@ -1302,6 +1361,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     # r4: md5-based HyperLogLog (mergeable approximate-distinct)
     "hll_distinct": q_hll_distinct,
+    # r4: chunking + PII scrubbing (curation breadth)
+    "chunk_documents": q_chunk_documents,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES: dict[str, str] = {
@@ -1342,6 +1404,8 @@ ORACLES: dict[str, str] = {
     "grouping_accuracy": _sql_grouping_accuracy(),
     "multimodal_decode": SQL_MULTIMODAL,
     "hll_distinct": _sql_hll_distinct(),
+    "chunk_documents": _sql_chunk_documents(),
+    "pii_redact": _sql_pii_redact(),
 }
 
 

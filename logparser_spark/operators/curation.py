@@ -234,3 +234,137 @@ def pack_sequences_sql(
         f"CAST({ecs} % {seq_budget} AS BIGINT) AS tok_offset "
         f"FROM ({src_sql})"
     )
+
+
+# -- chunking -----------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split long documents into fixed-width overlapping chunks:
+    (*id*, chunk_idx, chunk_start, chunk_text).
+
+    The context-window prep step: chunk k covers characters
+    ``[k·stride, k·stride + chunk_chars)`` with ``stride = chunk_chars −
+    overlap``; the last chunk starts at the final stride multiple below
+    ``len − overlap`` (every character is covered, every chunk is
+    non-degenerate).  Pure narrow ops — ``sequence`` + ``posexplode``,
+    no shuffle at all; chunk counts use exact integer ceil-division so
+    the SQL twin reproduces the split bit-for-bit.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    ln = F.length(F.col(text_col))
+    # ceil((len - overlap) / stride) in exact integer arithmetic (the
+    # double division is exact for any text length below 2^52 chars)
+    n = F.when(ln <= chunk_chars, F.lit(1)).otherwise(
+        F.floor((ln - overlap + (stride - 1)) / F.lit(stride))
+    )
+    return (
+        docs.select(
+            id_col,
+            text_col,
+            F.posexplode(F.sequence(F.lit(0), n.cast("int") - 1)).alias(
+                "chunk_idx", "_k"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("int").alias("chunk_start"),
+            F.substring(
+                F.col(text_col), F.col("chunk_idx") * stride + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same integer ceil-div)."""
+    stride = chunk_chars - overlap
+    return f"""
+WITH n AS (
+  SELECT {id_col}, {text_col},
+         CASE WHEN length({text_col}) <= {chunk_chars} THEN 1
+              ELSE (length({text_col}) - {overlap} + {stride - 1}) // {stride}
+         END AS n_chunks
+  FROM {src})
+SELECT {id_col},
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {stride} AS INT) AS chunk_start,
+       substring({text_col}, CAST(i * {stride} + 1 AS INT), {chunk_chars})
+         AS chunk_text
+FROM (SELECT {id_col}, {text_col}, UNNEST(range(0, n_chunks)) AS i FROM n)
+"""
+
+
+# -- PII redaction ------------------------------------------------------------
+
+#: (pattern, replacement) — RE2-safe (no lookaround), identical strings
+#: in Spark (java.util.regex) and DuckDB (RE2); order matters (SSN and
+#: phone patterns overlap digit runs the IP pattern would also touch)
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4, SSN- and phone-shaped
+    digit runs) before training: (*id*, redacted, n_pii).
+
+    The privacy-scrubbing sibling of the log-masking rules
+    (config.DrainParams.rex): a chain of native ``regexp_replace`` —
+    stateless, shuffle-free, whole-stage-codegen — with ``n_pii``
+    counting each rule's matches just before that rule rewrites them,
+    so downstream filters can drop PII-dense documents entirely (the
+    usual policy knob).
+    """
+    red = F.col(text_col)
+    cnt = F.lit(0)
+    for pat, token in PII_RULES:
+        cnt = cnt + F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(
+        id_col,
+        red.alias("redacted"),
+        cnt.cast("bigint").alias("n_pii"),
+    )
+
+
+def pii_redact_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`pii_redact` — same rule chain, counts via
+    regexp_extract_all length (RE2 'g' flag for replace-all)."""
+    red = text_col
+    cnts = []
+    for pat, token in PII_RULES:
+        esc = pat.replace("'", "''")
+        cnts.append(f"len(regexp_extract_all({red}, '{esc}'))")
+        red = f"regexp_replace({red}, '{esc}', '{token}', 'g')"
+    total = " + ".join(cnts)
+    return (
+        f"SELECT {id_col}, {red} AS redacted, "
+        f"CAST({total} AS BIGINT) AS n_pii FROM {src}"
+    )

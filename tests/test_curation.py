@@ -163,3 +163,100 @@ def test_pack_sequences_no_full_corpus_single_partition_exchange(spark):
     # prefix (10k docs / width 64 = 157 rows); the 10k-doc side must not
     # add another
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_chunk_documents_hand_example(spark):
+    from logparser_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 512), (3, "x" * 513), (4, "y" * 960),
+         (5, "z" * 961)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], len(r["chunk_text"]))
+        for r in chunk_documents(docs, chunk_chars=512, overlap=64).collect()
+    }
+    # <=512 chars -> one chunk; 513 -> ceil(449/448)=2; 960 -> 2 (448+512
+    # covers exactly); 961 -> ceil(897/448)=3
+    assert got == {
+        (1, 0): (0, 100),
+        (2, 0): (0, 512),
+        (3, 0): (0, 512), (3, 1): (448, 65),
+        (4, 0): (0, 512), (4, 1): (448, 512),
+        (5, 0): (0, 512), (5, 1): (448, 512), (5, 2): (896, 65),
+    }
+    # every char covered, chunks overlap by exactly `overlap` where split
+    assert all(s % 448 == 0 for s, _ in got.values())
+
+
+def test_chunk_documents_matches_sql_twin(spark):
+    import duckdb
+
+    from logparser_spark.operators.curation import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = (
+        chunk_documents(docs)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(chunk_documents_sql())
+        .df()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pii_redact_hand_examples(spark):
+    from logparser_spark.operators.curation import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "from 192.168.0.1 to 10.0.0.255"),
+            (3, "ssn 123-45-6789 phone 555-867 5309 and 555 123-4567"),
+            (4, "clean text, no pii 1234-5678"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["redacted"], r["n_pii"])
+           for r in pii_redact(docs).collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert got[2] == ("from <IP> to <IP>", 2)
+    # mixed-separator phones both match; the ssn matches the ssn rule
+    assert got[3] == ("ssn <SSN> phone <PHONE> and <PHONE>", 3)
+    assert got[4] == ("clean text, no pii 1234-5678", 0)
+
+
+def test_pii_redact_matches_sql_twin(spark):
+    import duckdb
+
+    from logparser_spark.operators.curation import pii_redact, pii_redact_sql
+
+    rows = [
+        (1, "a@b.io or 1.2.3.4"),
+        (2, "call 555-867-5309; ssn 000-11-2222"),
+        (3, "plain"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pii_redact(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = (
+        con.execute(pii_redact_sql("t")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

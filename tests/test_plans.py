@@ -135,6 +135,20 @@ def test_cms_sketch_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_hll_registers_partial_aggregate_no_python(spark):
+    """The HLL register build must be a two-phase hash aggregate (map-side
+    partial MAX before the shuffle — the constant-size-partial property
+    the sketch exists for) built from native expressions: no Python
+    evaluation anywhere in the plan."""
+    from logparser_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(hll_distinct(ev, ["event_type"], "user_id"))
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    assert "partial_max" in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
 def test_route_write_plan_uses_rebalance(spark):
     """route_rebalance=True must plan a rebalance exchange (AQE splits
     oversized sinks / coalesces small ones at runtime), not a fixed
