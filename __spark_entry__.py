@@ -5,9 +5,12 @@ SQL-expressible operator has a DuckDB oracle with identical column
 aliases.  Since r3 the flagship parse path (drain assignments, pipeline
 sink counts) and eight engine template tables are hash-checked against a
 DuckDB twin of the deterministic transcript generator
-(:mod:`logparser_spark.oracle_twin`); only shiso/logsig (size-dependent
-template splits) and multimodal (BMP/WAV decode is real since r3, but
-a byte-level codec has no SQL twin) remain rows-only.
+(:mod:`logparser_spark.oracle_twin`).  Since r4 EVERY registered query
+carries an oracle: shiso/logsig check size-pinned literal template
+tables over a pinned corpus, and multimodal decode — real BMP/PNG/WAV
+codecs — checks decoded dims/format against the generator's
+deterministic formulas (an encode→decode round-trip the twin can state
+in plain SQL).
 """
 
 from __future__ import annotations

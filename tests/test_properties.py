@@ -156,3 +156,58 @@ def test_lenma_online_count_conservation(lines):
     # templates keep their token count through wildcarding
     for c in lmap.clusters:
         assert len(c.tokens) == len(c.lengths)
+
+
+_px = st.integers(min_value=0, max_value=255)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_png_roundtrip_property(h, w, ch, rnd):
+    """encode_png → decode_png is identity for every 8-bit shape the
+    codec claims (grey/RGB/RGBA, any dims ≥ 1)."""
+    import numpy as np
+
+    from logparser_spark.operators.multimodal import decode_png, encode_png
+
+    px = np.frombuffer(
+        bytes(rnd.getrandbits(8) for _ in range(h * w * ch)), dtype=np.uint8
+    ).reshape((h, w) if ch == 1 else (h, w, ch))
+    got = decode_png(encode_png(px))
+    assert got.shape == px.shape and (got == px).all()
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=50))
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_hll_python_reference_register_bounds(values):
+    """ρ ∈ [1, 41], bucket ∈ [0, 255], and the register table is
+    insensitive to value order and duplication (set semantics)."""
+    import hashlib
+
+    def regs_of(vals):
+        regs = {}
+        for v in vals:
+            hx = hashlib.md5(str(v).encode()).hexdigest()
+            b = int(hx[:2], 16)
+            st_ = hx[2:12].lstrip("0")
+            rho = (
+                41
+                if not st_
+                else 4 * (10 - len(st_))
+                + {"1": 3, "2": 2, "3": 2}.get(
+                    st_[0], 1 if st_[0] in "4567" else 0
+                )
+                + 1
+            )
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    a = regs_of(values)
+    b = regs_of(list(reversed(values)) + values)  # reorder + duplicate
+    assert a == b
+    assert all(0 <= k <= 255 and 1 <= v <= 41 for k, v in a.items())
