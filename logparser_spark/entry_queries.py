@@ -1255,11 +1255,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Hash-checkable since r4: every decoded field is a deterministic
-#: function of (doc_id, md5(text)) — image/audio dims and format come
-#: from the real BMP/PNG/WAV headers the generator encoded (so the
-#: oracle checks the encode→decode ROUND-TRIP, including the zlib
-#: inflate + unfilter of the PNG path), and the video stub's dims are
-#: md5-derived exactly as documented in multimodal._decode_image_batch.
+#: function of doc_id — the dims and format come from the real
+#: BMP/PNG/WAV/Y4M headers the generator encoded, so the oracle checks
+#: the encode→decode ROUND-TRIP (including the zlib inflate + unfilter
+#: of the PNG path and the y4m stream-header parse) in plain SQL.
 SQL_MULTIMODAL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1267,17 +1266,17 @@ SELECT doc_id AS media_id,
        CAST(CASE doc_id % 3
             WHEN 0 THEN 8 + doc_id % 9
             WHEN 1 THEN 64 + doc_id % 64
-            ELSE 16 + CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 64
+            ELSE 4 + doc_id % 5
        END AS INT) AS width,
        CAST(CASE doc_id % 3
             WHEN 0 THEN 8 + (doc_id * 7) % 9
             WHEN 1 THEN 1
-            ELSE 16 + CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 64
+            ELSE 4 + (doc_id * 3) % 5
        END AS INT) AS height,
        CASE doc_id % 3
             WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0
                              THEN 'bmp' ELSE 'png' END
-            WHEN 1 THEN 'wav' ELSE 'raw' END AS format
+            WHEN 1 THEN 'wav' ELSE 'y4m' END AS format
 FROM documents
 """
 

@@ -14,12 +14,17 @@ byte layouts with nothing but numpy/struct:
   chunk framing with CRC-32, zlib-deflated scanlines, and all five
   scanline filters (None/Sub/Up/Average/Paeth) on decode.  Needs only
   stdlib ``zlib`` + numpy: :func:`encode_png` / :func:`decode_png`.
+* **Y4M video** (r4): the YUV4MPEG2 stream format (mjpegtools; the
+  standard uncompressed-video interchange ffmpeg/x264 read) — ASCII
+  stream header (``YUV4MPEG2 W.. H.. F.. C444``) + per-frame ``FRAME``
+  markers + raw planar YUV: :func:`encode_y4m` / :func:`decode_y4m`.
+  One real codec per modality: image, audio, AND video.
 
 Formats whose codecs genuinely need external libraries (jpeg/webp, mp3,
 h264 — PIL/ffmpeg, absent in this container) still fall back to a
 deterministic md5 stub, loudly labeled so the boundary between real
 decode and stand-in is visible in the output ``format`` column
-('bmp'/'png'/'wav' = real parse, 'raw' = stub).
+('bmp'/'png'/'wav'/'y4m' = real parse, 'raw' = stub).
 """
 
 from __future__ import annotations
@@ -233,6 +238,56 @@ def decode_png(raw: bytes) -> np.ndarray:
     return px[:, :, 0] if ch == 1 else px
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w, 3) uint8 planar-YUV frames → YUV4MPEG2 bytes (C444).
+
+    Per the mjpegtools y4m layout: one ASCII stream header, then for
+    each frame a ``FRAME\\n`` marker followed by the full-resolution Y,
+    U, V planes (C444 = no chroma subsampling, so every byte round-trips
+    exactly).
+    """
+    n, h, w, _ = frames.shape
+    head = _Y4M_MAGIC + f"W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()
+    out = [head]
+    for f in np.ascontiguousarray(frames, dtype=np.uint8):
+        # (h, w, 3) → planar: all Y, then all U, then all V
+        out.append(b"FRAME\n" + f.transpose(2, 0, 1).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(raw: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 bytes → ((n, h, w, 3) uint8 YUV frames, (fps_num, den))."""
+    if not raw.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = raw.index(b"\n")
+    w = h = 0
+    fps = (25, 1)
+    for tok in raw[len(_Y4M_MAGIC) : nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode()
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == "C" and val not in ("444",):
+            raise ValueError(f"only C444 supported, got C{val}")
+    plane = w * h
+    frames, pos = [], nl + 1
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)  # FRAME line (may carry params)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        body = np.frombuffer(raw, dtype=np.uint8, count=3 * plane, offset=fnl + 1)
+        frames.append(body.reshape(3, h, w).transpose(1, 2, 0))
+        pos = fnl + 1 + 3 * plane
+    return np.stack(frames), fps
+
+
 def _md5_stream(seed: bytes, n: int) -> np.ndarray:
     """n deterministic bytes from chained md5 of seed (test pixel/PCM)."""
     import hashlib
@@ -251,10 +306,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
     Image rows carry REAL encoded images — alternating BMP and PNG, so
     both the uncompressed and the compressed codec paths are exercised —
-    and audio rows REAL WAVs (pixels / PCM are md5-derived from the
-    text, so the table is reproducible); video rows keep an opaque
-    payload — their decode stays stubbed.  Encoding runs in the same
-    ``mapInPandas`` Arrow-batch shape the decode side uses.
+    audio rows REAL WAVs, and video rows REAL multi-frame Y4M streams
+    (pixels / PCM / YUV planes are md5-derived from the text, so the
+    table is reproducible).  Encoding runs in the same ``mapInPandas``
+    Arrow-batch shape the decode side uses.
     """
     base = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -285,11 +340,18 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                     )
                     payloads.append(encode_wav(pcm))
                 else:
-                    payloads.append(seed)  # opaque (stub decode path)
+                    w = 4 + int(mid) % 5
+                    h = 4 + (int(mid) * 3) % 5
+                    nf = 2 + int(mid) % 4
+                    yuv = _md5_stream(seed, nf * h * w * 3).reshape(
+                        nf, h, w, 3
+                    )
+                    payloads.append(encode_y4m(yuv))
             mime = {
                 b"BM": "image/bmp",
                 _PNG_SIG[:2]: "image/png",
                 b"RI": "audio/wav",
+                b"YU": "video/x-yuv4mpeg",
             }
             yield pd.DataFrame(
                 {
@@ -342,6 +404,23 @@ def _decode_image_batch(payload: pd.Series) -> pd.DataFrame:
                     "feature": [
                         round(float(v), 6)
                         for v in (*mean, *std, w / 255.0, h / 255.0)
+                    ],
+                }
+            )
+        elif raw[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+            fr, fps = decode_y4m(raw)
+            nf, h, w, _ = fr.shape
+            yuv = fr.astype(np.float64) / 255.0
+            mean = yuv.mean(axis=(0, 1, 2))  # per-plane over all frames
+            std = yuv.std(axis=(0, 1, 2))
+            rows.append(
+                {
+                    "width": int(w),
+                    "height": int(h),
+                    "format": "y4m",
+                    "feature": [
+                        round(float(v), 6)
+                        for v in (*mean, *std, float(nf), fps[0] / 60.0)
                     ],
                 }
             )
@@ -408,11 +487,12 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
     """Arrow-batched resize over ``mapInPandas``.
 
-    BMP and PNG payloads are REALLY resized: decode → nearest-neighbor
-    resample in numpy → re-encode in the SAME format, so the output
-    payload is itself a valid BMP/PNG of the target dimensions.
-    Non-image payloads keep the deterministic md5-tag stand-in (audio
-    resampling / video transcode need real DSP libraries).
+    BMP, PNG and Y4M payloads are REALLY resized: decode →
+    nearest-neighbor resample in numpy (per frame for video) →
+    re-encode in the SAME format, so the output payload is itself a
+    valid BMP/PNG/Y4M at the target dimensions.  Audio payloads keep
+    the deterministic md5-tag stand-in (resampling PCM is a DSP
+    operation, not a byte-layout one).
     """
     out_schema = T.StructType(
         [f for f in df.schema.fields]
@@ -440,6 +520,12 @@ def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataF
                     xi = (np.arange(target_w) * w) // target_w
                     enc = encode_bmp if is_bmp else encode_png
                     out.append(enc(px[yi][:, xi]))
+                elif raw[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+                    fr, fps = decode_y4m(raw)
+                    _, h, w, _ = fr.shape
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    out.append(encode_y4m(fr[:, yi][:, :, xi], fps))
                 else:
                     out.append(hashlib.md5(raw).digest() + tag)
             pdf["payload"] = out
@@ -451,13 +537,46 @@ def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataF
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan* (plumbing only): one output row per
-    sampled frame index, derived from metadata — the decode of each frame
-    would slot into :func:`decode_media`'s batch loop."""
-    n_frames = (F.col("meta.n_bytes") / 16).cast("int")  # stub: bytes→frames
-    idxs = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-    return (
-        df.filter(F.col("kind") == "video")
-        .withColumn("frame_idx", F.explode(idxs))
-        .select("media_id", "frame_idx", "meta")
+    """Video frame sampling — REAL since r4: every n-th frame of each
+    Y4M payload is decoded and per-plane YUV means are emitted, one row
+    per sampled frame: (media_id, frame_idx, n_frames, y_mean, u_mean,
+    v_mean).
+
+    Arrow-batched ``mapInPandas`` like :func:`decode_media` — the frame
+    loop runs inside the executor over the already-local payload bytes,
+    so sampling density changes OUTPUT rows, not scan volume.  Non-Y4M
+    video payloads (compressed codecs needing ffmpeg) are skipped —
+    they have no parseable frames.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("y_mean", T.DoubleType()),
+            T.StructField("u_mean", T.DoubleType()),
+            T.StructField("v_mean", T.DoubleType()),
+        ]
     )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(raw)
+                if raw[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+                    continue
+                frames, _ = decode_y4m(raw)
+                nf = frames.shape[0]
+                for k in range(0, nf, every_n):
+                    m = frames[k].astype(np.float64).mean(axis=(0, 1)) / 255.0
+                    rows.append(
+                        (int(mid), k, nf,
+                         round(float(m[0]), 6), round(float(m[1]), 6),
+                         round(float(m[2]), 6))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(fn, out_schema)

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from logparser_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_media,
     frame_sample_plan,
     media_from_documents,
@@ -165,15 +166,35 @@ def test_png_codec_roundtrip():
         decode_png(bytes(bad))
 
 
+def test_y4m_codec_roundtrip():
+    """The Y4M video codec is REAL: encode→decode is identity (frames,
+    dims, fps) and foreign/compressed payloads are rejected loudly."""
+    import numpy as np
+    import pytest
+
+    from logparser_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(3)
+    for n, h, w in ((1, 4, 6), (5, 7, 5), (3, 1, 1)):
+        fr = rng.randint(0, 256, (n, h, w, 3), dtype=np.uint8)
+        got, fps = decode_y4m(encode_y4m(fr, fps=(30, 1)))
+        assert fps == (30, 1) and got.shape == fr.shape and (got == fr).all()
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"\x00\x01garbage")
+
+
 def test_media_decode_real_formats(spark, docs):
     media = media_from_documents(docs.limit(50))
     decoded = decode_media(media)
     pdf = decoded.toPandas()
     assert len(pdf) == 50
-    # image rows decode as real BMPs/PNGs, audio as real WAVs, video = stub
+    # every modality decodes REAL: BMP/PNG images, WAV audio, Y4M video
     by_kind = dict(pdf.groupby("kind")["format"].agg(set))
     assert by_kind["image"] == {"bmp", "png"} and by_kind["audio"] == {"wav"}
-    assert by_kind["video"] == {"raw"}
+    assert by_kind["video"] == {"y4m"}
+    vids = pdf[pdf["kind"] == "video"]
+    assert (vids["width"] == 4 + vids["media_id"] % 5).all()
+    assert (vids["height"] == 4 + (vids["media_id"] * 3) % 5).all()
     # both encodings of the same pixels decode to the same feature recipe:
     # dims come from the actual header, per the generator's formula
     imgs = pdf[pdf["kind"] == "image"]
@@ -201,6 +222,8 @@ def test_media_resize_real_bmp(spark, docs):
     resized = resize_media(media, target_w=32, target_h=48).toPandas()
     assert len(resized) == 40
     assert (resized["resized_w"] == 32).all() and (resized["resized_h"] == 48).all()
+    from logparser_spark.operators.multimodal import decode_y4m
+
     # image payloads are VALID BMPs/PNGs (format preserved) at target dims
     seen = set()
     for _, r in resized[resized["kind"] == "image"].iterrows():
@@ -209,8 +232,12 @@ def test_media_resize_real_bmp(spark, docs):
         seen.add(dec.__name__)
         assert dec(raw).shape == (48, 32, 3)
     assert seen == {"decode_bmp", "decode_png"}
-    # non-image payloads keep the md5-tag stand-in (16 + tag bytes)
-    others = resized[resized["kind"] != "image"]
+    # video payloads are VALID Y4M streams at target dims (frame count kept)
+    for _, r in resized[resized["kind"] == "video"].iterrows():
+        fr, _ = decode_y4m(bytes(r["payload"]))
+        assert fr.shape[1:] == (48, 32, 3) and fr.shape[0] >= 2
+    # audio keeps the md5-tag stand-in (16 + tag bytes)
+    others = resized[resized["kind"] == "audio"]
     assert all(len(bytes(p)) == 16 + len(b":32x48") for p in others["payload"])
     again = resize_media(media, target_w=32, target_h=48).toPandas()
     pd.testing.assert_frame_equal(
@@ -219,13 +246,43 @@ def test_media_resize_real_bmp(spark, docs):
     )
 
 
-def test_frame_sampling_plan(spark, docs):
+def test_frame_sampling_decodes_real_frames(spark, docs):
+    import numpy as np
+
+    from logparser_spark.operators.multimodal import decode_y4m
+
     media = media_from_documents(docs.limit(60))
-    frames = frame_sample_plan(media, every_n=5)
-    pdf = frames.toPandas()
-    assert (pdf["frame_idx"] % 5 == 0).all()
+    pdf = frame_sample_plan(media, every_n=2).toPandas()
+    assert (pdf["frame_idx"] % 2 == 0).all()
     n_videos = media.filter("kind = 'video'").count()
     assert pdf["media_id"].nunique() == n_videos
+    # generator formula: 2 + mid % 4 frames; sampled count = ceil(nf/2)
+    assert (pdf["n_frames"] == 2 + pdf["media_id"] % 4).all()
+    per = pdf.groupby("media_id").size()
+    nf = (2 + per.index % 4).to_numpy()
+    assert (per.to_numpy() == (nf + 1) // 2).all()
+    # spot-check one sampled frame's y_mean against a direct decode
+    row = pdf.iloc[0]
+    raw = bytes(
+        media.filter(F.col("media_id") == int(row["media_id"]))
+        .select("payload").first()[0]
+    )
+    frames, _ = decode_y4m(raw)
+    want = float(frames[int(row["frame_idx"])].astype(np.float64)
+                 .mean(axis=(0, 1))[0] / 255.0)
+    assert abs(row["y_mean"] - round(want, 6)) < 1e-9
+
+
+def test_media_decode_unknown_payload_takes_labeled_stub(spark):
+    """Foreign/compressed payloads (no codec in-sandbox) must surface as
+    the loudly-labeled md5 stub, never a pretend decode."""
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x01\xba fake-mpeg-ps"),
+          {"mime": "video/mpeg", "n_bytes": 16})],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(media).first()
+    assert row["format"] == "raw" and len(row["feature"]) == 8
 
 
 def test_ngram_repetition_hand_computed(spark):
