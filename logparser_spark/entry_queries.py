@@ -689,6 +689,27 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep docs with p = min(1, 0.01·n_tok) via the
+    md5-uniform — longer docs oversampled, deterministic row set."""
+    from logparser_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).alias("n_tok")
+    )
+    return weighted_sample(docs, "n_tok", 0.01)
+
+
+def _sql_weighted_sample() -> str:
+    from logparser_spark.operators.curation import weighted_sample_sql
+
+    return weighted_sample_sql(
+        f"(SELECT doc_id, len({_toks_sql('text')}) AS n_tok FROM documents) s",
+        "n_tok",
+        0.01,
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width overlapping document chunks (context-window prep) —
     pure narrow ops, integer ceil-div split identical to the twin."""
@@ -1360,9 +1381,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     # r4: md5-based HyperLogLog (mergeable approximate-distinct)
     "hll_distinct": q_hll_distinct,
-    # r4: chunking + PII scrubbing (curation breadth)
+    # r4: chunking + PII scrubbing + importance sampling (curation breadth)
     "chunk_documents": q_chunk_documents,
     "pii_redact": q_pii_redact,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1405,6 +1427,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _sql_hll_distinct(),
     "chunk_documents": _sql_chunk_documents(),
     "pii_redact": _sql_pii_redact(),
+    "weighted_sample": _sql_weighted_sample(),
 }
 
 

@@ -1,6 +1,6 @@
 """Corpus-curation operators for training-data pipelines.
 
-Three ops a pretraining-data pipeline runs after dedup and before
+Operators a pretraining-data pipeline runs after dedup and before
 tokenization, each relational (no UDFs) with a DuckDB SQL twin:
 
 * :func:`decontaminate` — flag corpus docs sharing word n-grams with a
@@ -13,6 +13,12 @@ tokenization, each relational (no UDFs) with a DuckDB SQL twin:
   sequences by position in the concatenated id-ordered token stream,
   computed as a two-level distributed prefix sum (no global sort of the
   corpus, no single-partition window over data-sized input).
+* :func:`chunk_documents` — fixed-width overlapping chunks
+  (context-window prep), integer ceil-div split, zero shuffle (r4).
+* :func:`pii_redact` — email/IPv4/SSN/phone → typed tokens via an
+  RE2-safe regexp chain with per-rule match counts (r4).
+* :func:`weighted_sample` — per-row importance sampling, keep prob
+  min(1, rate·weight) on the md5 uniform — no RNG state (r4).
 
 Scale notes
 -----------
@@ -367,4 +373,52 @@ def pii_redact_sql(
     return (
         f"SELECT {id_col}, {red} AS redacted, "
         f"CAST({total} AS BIGINT) AS n_pii FROM {src}"
+    )
+
+
+# -- weighted sampling --------------------------------------------------------
+
+#: 2^40 — the md5-derived uniform's exact denominator (10 hex chars)
+_U_DENOM = float(1 << 40)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    rate: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``min(1, rate · weight)`` — importance sampling for data
+    mixing ("upweight high-quality docs"), the per-row sibling of
+    :func:`stratified_sample`'s per-stratum rates.
+
+    The acceptance uniform is md5-derived (first 10 hex chars of
+    ``md5(id)`` over 2^40 — an exact binary double, same construction as
+    the repo's bucket idiom), so Spark, DuckDB, and plain Python keep
+    the IDENTICAL row set: no RNG state, reproducible across retries and
+    engines, and a pure filter that pushes into the scan (no shuffle).
+    ``weight_col`` must be numeric; integer weights (token counts,
+    quality tiers) make ``rate · weight`` bit-identical across engines.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    u = (F.conv(F.substring(h, 1, 10), 16, 10).cast("double") / _U_DENOM)
+    p = F.least(F.lit(1.0), F.lit(rate) * F.col(weight_col).cast("double"))
+    return docs.filter(u < p)
+
+
+def weighted_sample_sql(
+    src: str,
+    weight_col: str,
+    rate: float,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same md5 uniform)."""
+    u = (
+        f"(CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 10)) "
+        f"AS BIGINT) / {_U_DENOM!r})"
+    )
+    return (
+        f"SELECT * FROM {src} WHERE {u} < "
+        f"least(1.0, {rate:.17e} * CAST({weight_col} AS DOUBLE))"
     )

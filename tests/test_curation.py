@@ -260,3 +260,53 @@ def test_pii_redact_matches_sql_twin(spark):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_weighted_sample_matches_python_rule_and_is_proportional(spark):
+    import hashlib
+
+    from logparser_spark.operators.curation import weighted_sample
+
+    # ids 0..9999, weight tiers 1/2/3 — keep prob 0.1/0.2/0.3
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3 + 1).alias("w")
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 0.1).collect()}
+
+    def u_of(i: int) -> float:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:10], 16) / 2**40
+
+    want = {i for i in range(10_000)
+            if u_of(i) < min(1.0, 0.1 * (i % 3 + 1))}
+    assert got == want
+    # proportionality: tier keep-rates track their probabilities
+    for tier, p in ((0, 0.1), (1, 0.2), (2, 0.3)):
+        n_kept = sum(1 for i in got if i % 3 == tier)
+        assert abs(n_kept / (10_000 / 3) - p) < 0.03, (tier, n_kept)
+
+
+def test_weighted_sample_matches_sql_twin(spark):
+    import duckdb
+
+    from logparser_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.length("text").alias("w")
+    )
+    got = (
+        weighted_sample(docs, "w", 0.002)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = (
+        con.execute(weighted_sample_sql(
+            "(SELECT doc_id, length(text) AS w FROM documents) s", "w", 0.002))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 0 < len(got) < docs.count()
