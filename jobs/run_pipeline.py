@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main() -> None:
@@ -132,8 +133,11 @@ def main() -> None:
                     "routed_rows": spark.read.parquet(f"{args.out}/routed").count(),
                     "n_templates": len(clusters),
                     "agg_path": agg_path,
+                    # guard: an all-empty-batch stream never creates the dir
                     "curated_rows": (
-                        spark.read.parquet(cur_path).count() if cur_path else None
+                        spark.read.parquet(cur_path).count()
+                        if cur_path and os.path.isdir(cur_path)
+                        else (0 if cur_path else None)
                     ),
                 }
             )

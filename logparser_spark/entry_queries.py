@@ -1468,8 +1468,9 @@ def _register_generator_twin_oracles() -> None:
     template set is a provable function of the bank become hash-checked.
     shiso/logsig produce size-dependent splits → their queries mine a
     PINNED corpus and check against size-pinned literal tables (r4);
-    with the r4 multimodal round-trip oracle, all 59 queries carry
-    oracles."""
+    with the r4 multimodal round-trip oracle, every registered query
+    carries an oracle (len(QUERIES) == len(ORACLES), asserted by the
+    parity suite)."""
     from logparser_spark import oracle_twin as tw
 
     ORACLES["drain_assignments"] = tw.sql_drain_assignments()

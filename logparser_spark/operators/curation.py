@@ -276,8 +276,8 @@ def chunk_documents(
         docs.select(
             id_col,
             text_col,
-            F.posexplode(F.sequence(F.lit(0), n.cast("int") - 1)).alias(
-                "chunk_idx", "_k"
+            F.explode(F.sequence(F.lit(0), n.cast("int") - 1)).alias(
+                "chunk_idx"
             ),
         )
         .select(

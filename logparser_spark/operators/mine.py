@@ -179,9 +179,13 @@ def mine_templates(
                     else ""
                 )
                 + ". Masking likely misses this corpus' parameters: "
-                "extend rex, raise sample_one_in, or pass "
-                "cap_action='sample' to auto-escalate the sample "
-                "(unique_cap=None to override)."
+                "extend rex or raise sample_one_in"
+                + (
+                    ""
+                    if cap_action == "sample"
+                    else ", or pass cap_action='sample' to auto-escalate"
+                )
+                + " (unique_cap=None to override)."
             )
     cols = list(dict.fromkeys([*order_cols, "masked"]))
     # Skew guard: partitioning by conv alone puts a dominant conversation

@@ -265,6 +265,7 @@ def decode_y4m(raw: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     nl = raw.index(b"\n")
     w = h = 0
     fps = (25, 1)
+    colorspace = "420jpeg"  # the y4m spec's DEFAULT when C is absent
     for tok in raw[len(_Y4M_MAGIC) : nl].split():
         tag, val = chr(tok[0]), tok[1:].decode()
         if tag == "W":
@@ -274,8 +275,12 @@ def decode_y4m(raw: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         elif tag == "F":
             num, den = val.split(":")
             fps = (int(num), int(den))
-        elif tag == "C" and val not in ("444",):
-            raise ValueError(f"only C444 supported, got C{val}")
+        elif tag == "C":
+            colorspace = val
+    if colorspace != "444":
+        # subsampled plane sizes (e.g. the default 4:2:0) would misparse
+        # as C444 — reject loudly instead of reading garbage frames
+        raise ValueError(f"only C444 supported, got C{colorspace}")
     plane = w * h
     frames, pos = [], nl + 1
     while pos < len(raw):
@@ -285,6 +290,8 @@ def decode_y4m(raw: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         body = np.frombuffer(raw, dtype=np.uint8, count=3 * plane, offset=fnl + 1)
         frames.append(body.reshape(3, h, w).transpose(1, 2, 0))
         pos = fnl + 1 + 3 * plane
+    if not frames:  # header-only stream (encode of 0 frames) round-trips
+        return np.zeros((0, h, w, 3), dtype=np.uint8), fps
     return np.stack(frames), fps
 
 

@@ -134,8 +134,9 @@ _HLL_SUF_HEX = 10
 
 
 def _hll_alpha(m: int) -> float:
-    # bias-correction constant per the HLL paper §4 (m >= 128 branch
-    # covers every log2m this module accepts)
+    # bias-correction constant per the HLL paper §4; hll_cols restricts
+    # log2m >= 8, so the m >= 128 branch covers every accepted m (the
+    # paper's small-m constants alpha_16/alpha_32/alpha_64 differ)
     return 0.7213 / (1.0 + 1.079 / m)
 
 
@@ -162,7 +163,11 @@ def hll_registers(
     """
     bucket, rho = hll_cols(value_col, log2m)
     return (
-        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        # NULLs carry no identity: md5(NULL) would otherwise become a
+        # phantom register that inflates n_buckets while contributing
+        # nothing to the estimator sum — drop them like count(DISTINCT)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("r"))
     )
@@ -172,8 +177,9 @@ def hll_cols(value_col: str, log2m: int = 8) -> tuple[Column, Column]:
     """(bucket, ρ) expressions for one value — the per-row map step,
     shared by the batch register builder and the streaming per-window
     variant (which must group by the raw window expression itself)."""
-    if log2m % 4 or not 4 <= log2m <= 16:
-        raise ValueError("log2m must be a multiple of 4 in [4, 16]")
+    if log2m % 4 or not 8 <= log2m <= 16:
+        # lower bound 8: _hll_alpha uses the paper's m >= 128 constant
+        raise ValueError("log2m must be a multiple of 4 in [8, 16]")
     bucket_hex = log2m // 4
     h = F.md5(F.col(value_col).cast("string"))
     suf = F.substring(h, bucket_hex + 1, _HLL_SUF_HEX)
@@ -250,6 +256,7 @@ def hll_distinct_sql(
 WITH rho AS (
   SELECT {ks},
          CAST(('0x' || substring({h}, 1, {bucket_hex})) AS INT) AS bucket,
+         -- NULL values dropped below, mirroring the Spark filter
          CASE WHEN length({stripped}) = 0 THEN {4 * _HLL_SUF_HEX + 1}
               ELSE 4 * ({_HLL_SUF_HEX} - length({stripped}))
                    + (CASE substring({stripped}, 1, 1)
@@ -259,7 +266,7 @@ WITH rho AS (
                       WHEN '6' THEN 1 WHEN '7' THEN 1
                       ELSE 0 END) + 1
          END AS rho
-  FROM {src}),
+  FROM {src} WHERE {value_col} IS NOT NULL),
 regs AS (
   SELECT {ks}, bucket, max(rho) AS r FROM rho GROUP BY {ks}, bucket),
 agg AS (

@@ -88,6 +88,39 @@ def test_hll_estimate_matches_duckdb_twin_exactly(spark):
     assert (got["n_buckets"] == want["n_buckets"]).all()
 
 
+def test_hll_ignores_nulls_like_count_distinct(spark):
+    """NULL values must not become a phantom register: est/n_buckets with
+    NULLs present == without, in Spark AND the DuckDB twin."""
+    import duckdb
+
+    base = spark.range(100).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), "id").alias("v")
+    )
+    with_nulls = base.unionAll(
+        spark.range(50).select(F.lit("g").alias("g"),
+                               F.lit(None).cast("string").alias("v"))
+    )
+    a = hll_distinct(base, ["g"], "v").first()
+    b = hll_distinct(with_nulls, ["g"], "v").first()
+    assert (a["est"], a["n_buckets"]) == (b["est"], b["n_buckets"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [("g", f"v{i}") for i in range(100)] + [("g", None)] * 50,
+    )
+    w = con.execute(hll_distinct_sql("t", ["g"], "v")).fetchone()
+    assert (b["est"], b["n_buckets"]) == (w[1], w[2])
+
+
+def test_hll_rejects_small_m(spark):
+    import pytest
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match=r"\[8, 16\]"):
+        hll_registers(df, [], "v", log2m=4)
+
+
 def test_hll_error_bound_and_mergeability(spark):
     # 20k distinct ids — the raw-estimator regime for m=256
     df = spark.range(20_000).select(

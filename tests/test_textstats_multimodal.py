@@ -181,6 +181,13 @@ def test_y4m_codec_roundtrip():
         assert fps == (30, 1) and got.shape == fr.shape and (got == fr).all()
     with pytest.raises(ValueError, match="not a YUV4MPEG2"):
         decode_y4m(b"\x00\x01garbage")
+    # a spec-valid stream with NO C tag defaults to 4:2:0 — must reject
+    # loudly, never misparse subsampled planes as C444
+    with pytest.raises(ValueError, match="only C444"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + b"\x00" * 24)
+    # header-only stream (0 frames) round-trips to an empty frame array
+    empty, _ = decode_y4m(encode_y4m(np.zeros((0, 4, 6, 3), np.uint8)))
+    assert empty.shape == (0, 4, 6, 3)
 
 
 def test_media_decode_real_formats(spark, docs):
