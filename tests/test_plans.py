@@ -149,6 +149,28 @@ def test_hll_registers_partial_aggregate_no_python(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
 
 
+def test_curation_narrow_ops_add_no_exchange(spark):
+    """chunk_documents / pii_redact / weighted_sample are pure narrow
+    pipelines: no Exchange anywhere, no Python evaluation — they extend
+    the scan's stage and scale embarrassingly."""
+    from logparser_spark.operators.curation import (
+        chunk_documents,
+        pii_redact,
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (
+        chunk_documents(docs),
+        pii_redact(docs),
+        weighted_sample(docs.select("doc_id", F.length("text").alias("w")),
+                        "w", 0.01),
+    ):
+        plan = _plan(q)
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
 def test_route_write_plan_uses_rebalance(spark):
     """route_rebalance=True must plan a rebalance exchange (AQE splits
     oversized sinks / coalesces small ones at runtime), not a fixed
