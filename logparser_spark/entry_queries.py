@@ -689,6 +689,25 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k-sample quantiles (md5-rank uniform sample,
+    exact-integer nearest-rank) — k=64 forces real sampling at sf scale."""
+    from logparser_spark.operators.sketches import quantile_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_sketch(
+        ev, ["event_type"], "value", "event_id", [5000, 9500], k=64
+    )
+
+
+def _sql_quantile_sketch() -> str:
+    from logparser_spark.operators.sketches import quantile_sketch_sql
+
+    return quantile_sketch_sql(
+        "events", ["event_type"], "value", "event_id", [5000, 9500], k=64
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance sampling: keep docs with p = min(1, 0.01·n_tok) via the
     md5-uniform — longer docs oversampled, deterministic row set."""
@@ -1385,6 +1404,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pii_redact": q_pii_redact,
     "weighted_sample": q_weighted_sample,
+    # r4: mergeable sample-quantile sketch
+    "quantile_sketch": q_quantile_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -1428,6 +1449,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": _sql_chunk_documents(),
     "pii_redact": _sql_pii_redact(),
     "weighted_sample": _sql_weighted_sample(),
+    "quantile_sketch": _sql_quantile_sketch(),
 }
 
 

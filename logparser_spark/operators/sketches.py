@@ -311,3 +311,119 @@ est AS (
   GROUP BY {key_col})
 SELECT {key_col}, est FROM est WHERE est >= {threshold}
 """
+
+
+# -- sample quantile sketch ---------------------------------------------------
+
+
+def quantile_sample(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group uniform sample of ≤ k rows: (*keys, value, _rk).
+
+    The sample is the BOTTOM-k rows by md5(id) — a deterministic uniform
+    sample (md5 ranks are exchangeable with respect to values) that is
+    MERGEABLE: the bottom-k of a union is contained in the union of
+    per-split bottom-k's, so re-ranking merged sketches reproduces the
+    global sample exactly (pinned by test).  Spark 4 plans the rank
+    filter as a map-side ``WindowGroupLimit``: each map task ships at
+    most k rows per group to the shuffle — per-group state constant in
+    the data size, the property exact per-group sorts lack.
+    """
+    from pyspark.sql import Window
+
+    rk = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(F.col("_rk"))
+    return (
+        # null values/ids are excluded on BOTH engines (they'd otherwise
+        # sort differently: Spark NULLS FIRST vs DuckDB NULLS LAST)
+        df.filter(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(*keys, F.col(value_col).alias("value"), rk.alias("_rk"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+#: rank denominator for sketch quantiles (same exact-integer rank rule
+#: as operators/aggregate.grouped_percentiles)
+_QS_DENOM = 10_000
+
+
+def quantile_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    pcts: list[int],
+    k: int = 256,
+) -> DataFrame:
+    """Approximate per-group quantiles from the bottom-k sample:
+    (*keys, p_pct, est, n_sample).
+
+    ``pcts`` are integer 100ths of a percent out of ``_QS_DENOM``
+    (5000 = median) so the nearest-rank ``ceil(p·n)`` is exact integer
+    arithmetic in both engines; ``est`` SELECTS an existing value (no
+    interpolation), so cross-engine equality is exact.  DKW bound: the
+    sample quantile's rank error is ≲ √(ln(2/δ)/2k) with prob 1−δ.
+    """
+    if not all(0 < p <= _QS_DENOM for p in pcts):
+        raise ValueError(f"pcts must be integers in (0, {_QS_DENOM}]")
+    sample = quantile_sample(df, keys, value_col, id_col, k)
+    arr = F.array_sort(F.collect_list(F.struct("value", "_rk")))
+    agg = sample.groupBy(*keys).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("n_sample")
+    )
+    out = agg.select(
+        *keys,
+        "n_sample",
+        F.explode(F.array(*[F.lit(p) for p in pcts])).alias("p_pct"),
+        F.col("_a"),
+    )
+    # rank = ceil(p·n/DENOM) in exact INTEGER arithmetic (`div`), never a
+    # double ceil — the aggregate.grouped_percentiles off-by-one lesson
+    rank = F.expr(
+        f"CAST((p_pct * n_sample + {_QS_DENOM - 1}) div {_QS_DENOM} AS INT)"
+    )
+    return out.select(
+        *keys,
+        F.col("p_pct").cast("int").alias("p_pct"),
+        F.element_at("_a", rank)["value"].alias("est"),
+        F.col("n_sample").cast("bigint").alias("n_sample"),
+    )
+
+
+def quantile_sketch_sql(
+    src: str,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    pcts: list[int],
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch` (same md5 ranks, same
+    integer nearest-rank)."""
+    ks = ", ".join(keys)
+    rk = f"md5(CAST({id_col} AS VARCHAR))"
+    plist = ", ".join(str(p) for p in pcts)
+    return f"""
+WITH ranked AS (
+  SELECT {ks}, {value_col} AS value, {rk} AS rk,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {rk}) AS rn
+  FROM {src}
+  WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL),
+sample AS (SELECT * FROM ranked WHERE rn <= {k}),
+agg AS (
+  SELECT {ks}, list(value ORDER BY value, rk) AS a,
+         count(*) AS n_sample
+  FROM sample GROUP BY {ks})
+SELECT {ks}, CAST(p.p_pct AS INT) AS p_pct,
+       a[CAST((p.p_pct * n_sample + {_QS_DENOM - 1}) // {_QS_DENOM} AS INT)]
+         AS est,
+       CAST(n_sample AS BIGINT) AS n_sample
+FROM agg, (SELECT unnest([{plist}]) AS p_pct) p
+"""

@@ -171,3 +171,53 @@ def test_cms_heavy_hitters_superset_of_exact(spark):
         .toPandas()
     )
     assert set(exact["user_id"]) <= set(hh["user_id"])
+
+
+def test_quantile_sketch_mergeable_and_bounded(spark):
+    from logparser_spark.operators.sketches import (
+        quantile_sample,
+        quantile_sketch,
+    )
+
+    # 20k uniform values per group: sample quantile must track the true
+    # quantile within the DKW band for k=256
+    df = spark.range(40_000).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("rid"),
+        (F.xxhash64("id") % 10_000).alias("v"),
+    ).filter("v >= 0")
+    got = quantile_sketch(df, ["g"], "v", "rid", [5000, 9000], k=256).collect()
+    for r in got:
+        p = r["p_pct"] / 10_000
+        frac = (r["est"] + 1) / 10_000  # uniform over [0, 9999]
+        assert abs(frac - p) < 3 * 0.05, r  # ~sqrt(ln(2/δ)/2k) band
+        assert r["n_sample"] == 256
+    # mergeability: re-ranked union of split samples == full sample
+    a, b = df.filter("rid % 2 = 0"), df.filter("rid % 2 = 1")
+    from pyspark.sql import Window
+
+    union = quantile_sample(a, ["g"], "v", "rid", 256).unionAll(
+        quantile_sample(b, ["g"], "v", "rid", 256)
+    )
+    w = Window.partitionBy("g").orderBy("_rk")
+    remerged = (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn <= 256").drop("_rn")
+    )
+    full = quantile_sample(df, ["g"], "v", "rid", 256)
+    assert full.exceptAll(remerged).count() == 0
+    assert remerged.exceptAll(full).count() == 0
+
+
+def test_quantile_sketch_plan_uses_window_group_limit(spark):
+    """The rank filter must prune map-side (WindowGroupLimit): each map
+    task ships at most k rows per group — never a full per-group sort of
+    the data through the exchange."""
+    from logparser_spark.operators.sketches import quantile_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        quantile_sketch(ev, ["event_type"], "value", "event_id", [5000], 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
