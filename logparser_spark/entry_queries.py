@@ -689,6 +689,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic seed queries for the BM25 gate check (words drawn from
+#: the documents vocabulary so every query matches a real tail)
+BM25_QUERIES = [
+    (1, "spark table join"),
+    (2, "window sort merge"),
+    (3, "hash key value"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 docs per seed query — integer micro-scores so
+    the twin is hash-identical despite the float idf/saturation math."""
+    from logparser_spark.operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id int, query string")
+    return bm25_topk(docs, queries, k=10)
+
+
+def _sql_bm25_topk() -> str:
+    from logparser_spark.operators.ranking import bm25_topk_sql
+
+    vals = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+    return bm25_topk_sql(
+        "documents",
+        f"SELECT * FROM (VALUES {vals}) q(query_id, query)",
+        _toks_sql,
+        k=10,
+    )
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k-sample quantiles (md5-rank uniform sample,
     exact-integer nearest-rank) — k=64 forces real sampling at sf scale."""
@@ -1404,8 +1435,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pii_redact": q_pii_redact,
     "weighted_sample": q_weighted_sample,
-    # r4: mergeable sample-quantile sketch
+    # r4: mergeable sample-quantile sketch + BM25 relevance ranking
     "quantile_sketch": q_quantile_sketch,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1450,6 +1482,7 @@ ORACLES: dict[str, str] = {
     "pii_redact": _sql_pii_redact(),
     "weighted_sample": _sql_weighted_sample(),
     "quantile_sketch": _sql_quantile_sketch(),
+    "bm25_topk": _sql_bm25_topk(),
 }
 
 
