@@ -2,7 +2,29 @@ from logparser_spark.operators.mine import mine_templates
 from logparser_spark.operators.assign import assign_templates
 from logparser_spark.operators.enrich import enrich
 from logparser_spark.operators.route import with_sink_id, route_write
-from logparser_spark.operators.aggregate import salted_agg, sink_window_counts, turn_window_counts
+from logparser_spark.operators.aggregate import (
+    grouped_percentiles,
+    salted_agg,
+    sink_window_counts,
+    turn_window_counts,
+)
+from logparser_spark.operators.bpe import bpe_encode, bpe_train
+from logparser_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    pii_redact,
+    stratified_sample,
+    weighted_sample,
+)
+from logparser_spark.operators.ranking import bm25_scores, bm25_topk
+from logparser_spark.operators.sketches import (
+    cms_heavy_hitters,
+    cms_sketch,
+    hll_distinct,
+    hll_registers,
+    quantile_sketch,
+)
 
 __all__ = [
     "mine_templates",
@@ -13,4 +35,20 @@ __all__ = [
     "salted_agg",
     "sink_window_counts",
     "turn_window_counts",
+    "grouped_percentiles",
+    "bpe_train",
+    "bpe_encode",
+    "bm25_scores",
+    "bm25_topk",
+    "chunk_documents",
+    "decontaminate",
+    "pack_sequences",
+    "pii_redact",
+    "stratified_sample",
+    "weighted_sample",
+    "cms_sketch",
+    "cms_heavy_hitters",
+    "hll_registers",
+    "hll_distinct",
+    "quantile_sketch",
 ]
