@@ -15,7 +15,8 @@ the WEIGHTED DISTINCT-WORD table, never the corpus:
   by (-count, pair) so no partition order leaks in).
 * :func:`bpe_encode` — encodes each DISTINCT word once (an Arrow
   pandas_udf with a per-batch memo over the deduped word table, cost
-  ∝ |vocab| not |corpus|) and joins the segmentations back broadcast,
+  ∝ |vocab| not |corpus|) and joins the segmentations back (broadcast
+  when the estimated vocab fits, shuffle join above ``broadcast_cap``),
   then reassembles per-doc token sequences with native array ops.
 
 Determinism: greedy merges with (-freq, pair) ordering; encoding applies
@@ -41,11 +42,13 @@ def _word_syms(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,)
 
 
-def fit_merges(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
-    """Greedy BPE fit over a weighted vocabulary (exact, deterministic).
+def _fit_merges_naive(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Reference fit: recompute ALL pair counts every merge.
 
-    Pair counts are maintained incrementally per merge; ties break by
-    lexicographic pair so the result is independent of dict order.
+    O(n_merges × Σ|word|) — kept only as the property-test mirror for
+    :func:`fit_merges`; never call it with a large merge count.
     """
     vocab = {_word_syms(w): f for w, f in word_freqs.items() if w}
     merges: list[tuple[str, str]] = []
@@ -73,6 +76,96 @@ def fit_merges(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str
             t = tuple(out)
             new_vocab[t] = new_vocab.get(t, 0) + f
         vocab = new_vocab
+    return merges
+
+
+def fit_merges(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Greedy BPE fit over a weighted vocabulary (exact, deterministic).
+
+    Incremental, as in the original subword-nmt implementation: pair
+    counts and a pair→words inverted index are maintained per merge, so
+    each merge touches ONLY the words that contain the merged pair —
+    O(Σ|affected word|) per merge instead of a full vocabulary rescan.
+    The best pair comes from a lazy max-heap of ``(-count, pair)``
+    entries: stale entries (count changed since push) are re-pushed with
+    the current count on pop, so selection is exactly
+    ``min(pairs, key=(-count, pair))`` — identical merges to the naive
+    rescan loop (property-tested in ``tests/test_bpe.py``), ties broken
+    lexicographically, independent of dict order.
+    """
+    import heapq
+
+    # word store: parallel lists (symbol tuples are rewritten in place);
+    # duplicate symbol tuples may coexist — pair counts only ever see
+    # their SUM, so selection is unaffected.
+    syms_of: list[tuple[str, ...]] = []
+    freq_of: list[int] = []
+    for w, f in word_freqs.items():
+        if w:
+            syms_of.append(_word_syms(w))
+            freq_of.append(f)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, syms in enumerate(syms_of):
+        f = freq_of[wid]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wid)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur <= 0:
+            continue  # fully-stale entry for a vanished pair
+        if -negc != cur:
+            heapq.heappush(heap, (-cur, best))  # refresh stale count
+            continue
+        merges.append(best)
+        merged = best[0] + best[1]
+        a, b = best
+        changed: set[tuple[str, str]] = set()
+        # only words containing `best` change (the inverted index is
+        # exact: ids are added on pair creation, removed on pair loss)
+        for wid in sorted(pair_words.pop(best, ())):
+            syms = syms_of[wid]
+            f = freq_of[wid]
+            old_pairs = list(zip(syms, syms[1:]))
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_syms = tuple(out)
+            syms_of[wid] = new_syms
+            new_pairs = list(zip(new_syms, new_syms[1:]))
+            for p in old_pairs:
+                pair_counts[p] -= f
+                changed.add(p)
+            for p in new_pairs:
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                changed.add(p)
+            old_set, new_set = set(old_pairs), set(new_pairs)
+            for p in old_set - new_set:
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wid)
+                    if not s:
+                        del pair_words[p]
+            for p in new_set - old_set:
+                pair_words.setdefault(p, set()).add(wid)
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+            elif p != best:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -135,14 +228,26 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_cap: int | None = 500_000,
 ) -> DataFrame:
     """Per-doc BPE token sequences: (id, bpe_tokens array<string>, n_bpe).
 
     The python merge loop runs ONCE PER DISTINCT WORD (Arrow pandas_udf
     over the deduped word table — cost ∝ |vocab|, not corpus size), and
-    the (word → segmentation) map joins back broadcast; per-doc
-    reassembly is a native posexplode + flatten ordered by word
-    position.  Words are never shipped to python twice.
+    the (word → segmentation) map joins back; per-doc reassembly is a
+    native posexplode + flatten ordered by word position.  Words are
+    never shipped to python twice.  Docs whose tokenization is empty
+    (null/blank text) are KEPT, with ``bpe_tokens = []`` and
+    ``n_bpe = 0`` — output row count always equals input row count.
+
+    The segmentation join is broadcast only when the estimated distinct
+    word count is at most ``broadcast_cap`` (checked with a cheap
+    ``approx_count_distinct`` pre-pass): on a noisy web-scale corpus the
+    distinct-word frame (with array payloads) can be many GB, and a
+    forced broadcast hint would OOM every executor — above the cap it
+    degrades to a shuffle join on ``word``, which the exploded side
+    already keys.  ``broadcast_cap=None`` skips the pre-pass and always
+    broadcasts (callers that KNOW the vocab is small, e.g. tests).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -164,8 +269,16 @@ def bpe_encode(
         id_col, F.posexplode(tokens_expr(text_col)).alias("pos", "word")
     )
     vocab = exploded.select("word").distinct().withColumn("_seg", seg("word"))
-    return (
-        exploded.join(F.broadcast(vocab), "word")
+    if broadcast_cap is not None:
+        est = exploded.agg(
+            F.approx_count_distinct("word", 0.05).alias("n")
+        ).first()["n"]
+        if est <= broadcast_cap:
+            vocab = F.broadcast(vocab)
+    else:
+        vocab = F.broadcast(vocab)
+    encoded = (
+        exploded.join(vocab, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(
@@ -177,9 +290,16 @@ def bpe_encode(
                 )
             ).alias("bpe_tokens")
         )
+    )
+    # empty-tokenization docs produce no exploded rows — join them back so
+    # they surface as ([], 0) instead of silently vanishing
+    toks = F.coalesce("bpe_tokens", F.array().cast("array<string>"))
+    return (
+        docs.select(id_col)
+        .join(encoded, id_col, "left")
         .select(
             id_col,
-            "bpe_tokens",
-            F.size("bpe_tokens").cast("bigint").alias("n_bpe"),
+            toks.alias("bpe_tokens"),
+            F.size(toks).cast("bigint").alias("n_bpe"),
         )
     )

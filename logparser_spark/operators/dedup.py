@@ -359,12 +359,74 @@ WHERE a.did < b.did AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # -- duplicate-cluster resolution --------------------------------------------
 
 
+def _two_phase_components(
+    edges: DataFrame, max_iters: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14, Alg. 2).
+
+    Converges in O(log² n) rounds regardless of component DIAMETER —
+    the adversarial-chain complement to min-label propagation (which
+    needs O(diameter) rounds).  Each round:
+
+    * large-star: every node u links each STRICTLY GREATER neighbor to
+      ``m(u) = min(Γ(u) ∪ {u})`` — long chains collapse toward local
+      minima without ever increasing the edge count beyond 2|E|;
+    * small-star: orienting each edge high→low, every node links its
+      smaller neighbors (and itself) to its minimum neighbor — stars
+      flatten onto their roots.
+
+    At the fixpoint the edge set is exactly the star set
+    ``(child, component-min)``.  Per round: two shuffles (the groupBy-min
+    and the join back), plus a convergence check; the frame is
+    ``localCheckpoint``-ed per round to truncate iterative lineage.
+    ``edges`` must be (u, v) with u != v; returns the converged star
+    edges ``(u=child, v=root)`` with root < child.
+    """
+    e = edges.select("u", "v").distinct().localCheckpoint()
+    for _ in range(max_iters):
+        # large-star over the symmetrized adjacency
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the high→low orientation
+        ori = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        omins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ori.join(omins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(omins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if small.count() == e.count() and small.exceptAll(e).isEmpty():
+            return small
+        e = small
+    raise RuntimeError(
+        f"duplicate_clusters(two_phase): star rounds did not reach the "
+        f"fixpoint within max_iters={max_iters} — raise max_iters "
+        "(O(log² n) rounds suffice for any graph, so this bound should "
+        "never bind below astronomically large inputs)"
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
     on_nonconverged: str = "error",
+    strategy: str = "label_prop",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components of the undirected pair graph, labeled by the component's
@@ -375,15 +437,21 @@ def duplicate_clusters(
     component)`` — so the canonical keeper of each cluster is the row
     where ``member_id == cluster_id``.
 
-    Algorithm: iterative min-label propagation (the MapReduce-CC family;
-    cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14).  Each round every node takes the min of its own label and
-    its neighbors' labels; convergence needs O(component diameter)
-    rounds.  Near-dup graphs are dense little cliques plus short chains
-    (diameter almost always ≤ 4), so this converges in a handful of
-    rounds; ``max_iters`` is a hard stop for adversarial chain graphs,
-    where the two-phase large-star/small-star variant (same paper) would
-    be the upgrade path.
+    Two strategies (both from Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14):
+
+    * ``strategy="label_prop"`` (default) — iterative min-label
+      propagation: each round every node takes the min of its own label
+      and its neighbors'; convergence needs O(component diameter)
+      rounds.  Near-dup graphs are dense little cliques plus short
+      chains (diameter almost always ≤ 4), so this converges in a
+      handful of rounds with ONE shuffle-join per round; ``max_iters``
+      is a hard stop that fails loudly on adversarial chains.
+    * ``strategy="two_phase"`` — alternating large-star/small-star
+      (:func:`_two_phase_components`): O(log² n) rounds independent of
+      diameter, two shuffles per round.  The right choice when the pair
+      graph may contain long paths (e.g. chained near-dups from
+      boilerplate drift); identical output, property-tested equal.
 
     Scale shape: per round one shuffle (edge join on ``src``) + one
     min-aggregate — no collect, no driver-side graph.  The label frame is
@@ -394,6 +462,28 @@ def duplicate_clusters(
     non-increasing, so "no label decreased" is an exact fixpoint test.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if strategy == "two_phase":
+        und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+        stars = _two_phase_components(und, max_iters)
+        labels = stars.select(
+            F.col("u").alias("member_id"), F.col("v").alias("cluster_id")
+        ).unionByName(
+            stars.select(F.col("v").alias("member_id"), F.col("v").alias("cluster_id"))
+        ).distinct()
+        # nodes appearing ONLY in self-pairs are singletons (label = self)
+        nodes = (
+            e.select(F.col("src").alias("member_id"))
+            .unionByName(e.select(F.col("dst").alias("member_id")))
+            .distinct()
+        )
+        return nodes.join(labels, "member_id", "left").select(
+            "member_id",
+            F.coalesce("cluster_id", F.col("member_id")).alias("cluster_id"),
+        )
+    if strategy != "label_prop":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

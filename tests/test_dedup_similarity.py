@@ -320,3 +320,85 @@ def test_ivf_centroids_refinement_changes_and_drops_empty(spark, emb):
     v0 = dict(zip(c0["centroid_id"], c0["cvec"]))
     v1 = dict(zip(c1["centroid_id"], c1["cvec"]))
     assert any(list(v0[c]) != list(v1[c]) for c in v1)
+
+
+# -- r5: two-phase (large-star/small-star) connected components ---------------
+
+
+def test_two_phase_handles_chain_where_label_prop_raises(spark):
+    """Adversarial path graph with diameter > max_iters: min-label
+    propagation must fail LOUDLY, the star strategy must converge in
+    O(log² n) rounds and label the whole chain with its minimum —
+    checked against the exact recursive-CTE oracle."""
+    import duckdb
+    import pytest
+
+    from logparser_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_sql,
+    )
+
+    rows = [(i, i + 1) for i in range(200)]  # path 0-1-…-200, diameter 200
+    pairs = _pairs(spark, rows)
+    with pytest.raises(RuntimeError, match="max_iters"):
+        duplicate_clusters(pairs, max_iters=25).count()
+    got = {
+        (r["member_id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            pairs, max_iters=25, strategy="two_phase"
+        ).collect()
+    }
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            duplicate_clusters_sql(
+                f"SELECT * FROM (VALUES {vals}) p(id_a, id_b)", "member_id"
+            )
+        ).fetchall()
+    }
+    assert got == want
+    assert got == {(i, 0) for i in range(201)}
+
+
+def test_two_phase_equals_label_prop_on_random_graphs(spark):
+    """Property: both strategies resolve identical clusters on mixed
+    random graphs (cliques + chains + singleton self-pairs)."""
+    import random
+
+    from logparser_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(2, 60)
+        rows = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 80))
+        ]
+        pairs = _pairs(spark, rows)
+        a = {
+            (r["member_id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs, max_iters=80).collect()
+        }
+        b = {
+            (r["member_id"], r["cluster_id"])
+            for r in duplicate_clusters(
+                pairs, strategy="two_phase"
+            ).collect()
+        }
+        assert a == b, f"trial {trial}: strategies disagree"
+
+
+def test_two_phase_empty_and_selfpair_edges(spark):
+    from logparser_spark.operators.dedup import duplicate_clusters
+
+    assert (
+        duplicate_clusters(_pairs(spark, []), strategy="two_phase").count() == 0
+    )
+    got = {
+        (r["member_id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            _pairs(spark, [(5, 5), (7, 8)]), strategy="two_phase"
+        ).collect()
+    }
+    assert got == {(5, 5), (7, 7), (8, 7)}
