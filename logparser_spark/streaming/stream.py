@@ -363,3 +363,103 @@ def streaming_curation_write(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_quantile_cells(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    k: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event-time-window bottom-k quantile-sketch cells over a
+    stream: (win_start, *keys, rk, value) — the streaming twin of
+    :func:`~logparser_spark.operators.sketches.quantile_sample`.
+
+    The bottom-k sample merges by construction (bottom-k of a union ⊆
+    union of bottom-k's), but unlike CMS/HLL it is not a plain
+    cell-wise SQL aggregate — the merge is "keep the k smallest md5
+    ranks", so this is the custom-stateful case:
+    ``applyInPandasWithState`` keyed by (window, *keys) holds EXACTLY
+    the current bottom-k (rank, value) pairs per group — state bounded
+    at k rows per (window, key) regardless of stream volume — and an
+    event-time timeout at window-end + watermark emits the finalized
+    sample once, in append semantics like the CMS/HLL twins.  A
+    finalized window's cells equal the batch ``quantile_sample`` over
+    that window's rows (pinned by test); quantile extraction is then a
+    batch read of the cells through the same exact-integer nearest-rank
+    arithmetic.  Ranks are the same engine-portable md5 construction as
+    the batch sketch, so streaming and batch pick IDENTICAL sample rows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_ms = window_minutes * 60 * 1000
+    key_schema = ", ".join(f"{c} string" for c in keys)
+    out_schema = (
+        "win_start timestamp"
+        + (", " + key_schema if keys else "")
+        + ", rk string, value double"
+    )
+    state_schema = "rks array<string>, vals array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        win_start = key[0]
+        kvals = key[1:]
+
+        def emit(rks, vals) -> pd.DataFrame:
+            out = {"win_start": [win_start] * len(rks)}
+            for c, v in zip(keys, kvals):
+                out[c] = [v] * len(rks)
+            out["rk"] = list(rks)
+            out["value"] = list(vals)
+            return pd.DataFrame(out)
+
+        if state.hasTimedOut:
+            rks, vals = state.get
+            state.remove()
+            yield emit(rks, vals)
+            return
+
+        pairs = []
+        if state.exists:
+            rks, vals = state.get
+            pairs = list(zip(rks, vals))
+        for pdf in pdfs:
+            ids = pdf["_id"]
+            vv = pdf["_val"]
+            ok = ids.notna() & vv.notna()
+            for i, v in zip(ids[ok], vv[ok]):
+                pairs.append(
+                    (hashlib.md5(str(i).encode("utf-8")).hexdigest(), float(v))
+                )
+        pairs.sort()
+        pairs = pairs[:k]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        wm = state.getCurrentWatermarkMs()
+        # naive-ts → epoch ms, same convention as streaming_sessionize
+        win_end_ms = int(pd.Timestamp(win_start).value // 1_000_000) + win_ms
+        state.setTimeoutTimestamp(max(win_end_ms, wm + 1))
+
+    src = stream.withWatermark(ts_col, watermark).select(
+        F.window(ts_col, f"{window_minutes} minutes")["start"].alias("win_start"),
+        *[F.col(c).cast("string").alias(c) for c in keys],
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_val"),
+        # the watermarked event-time column must survive projection for
+        # the analyzer to allow EventTimeTimeout; fn never reads it
+        F.col(ts_col),
+    )
+    return src.groupBy("win_start", *keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -598,3 +598,80 @@ def test_streaming_curation_matches_batch(spark):
         assert spark.read.parquet(out_path).count() == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_quantile_cells_equal_batch_sample(spark):
+    """A finalized window's streaming bottom-k cells == the batch
+    quantile_sample over that window's rows (bottom-k-of-union
+    mergeability via applyInPandasWithState), state bounded at k rows
+    per (window, key), and a checkpoint restart emits nothing new."""
+    from datetime import timedelta
+
+    from logparser_spark.operators.sketches import quantile_sample
+    from logparser_spark.sources.transcripts import transcripts_df
+    from logparser_spark.streaming.stream import streaming_quantile_cells
+
+    K = 16
+    tdf = transcripts_df(spark, 3000, 30, 0).withColumn(
+        "turn_uid", F.concat_ws(":", "conv_id", "turn_idx")
+    ).withColumn("text_len", F.length("text"))
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+        tdf.coalesce(2).write.parquet(in_path)
+        stream = spark.readStream.schema(tdf.schema).parquet(in_path)
+
+        def run():
+            q = (
+                streaming_quantile_cells(
+                    spark.readStream.schema(tdf.schema).parquet(in_path),
+                    ["role"], "text_len", "turn_uid",
+                    window_minutes=60, watermark="0 seconds", k=K,
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        got = spark.read.parquet(out_path)
+        static = spark.read.parquet(in_path)
+        max_ts = static.agg(F.max("ts")).first()[0]
+        all_wins = sorted(
+            r["w"]
+            for r in static.select(
+                F.window("ts", "1 hour")["start"].alias("w")
+            ).distinct().collect()
+        )
+        finalized = [w for w in all_wins if w + timedelta(hours=1) <= max_ts]
+        emitted = sorted(
+            r["win_start"]
+            for r in got.select("win_start").distinct().collect()
+        )
+        assert emitted == finalized and finalized
+        for w in finalized:
+            rows = static.filter(F.window("ts", "1 hour")["start"] == w)
+            want = {
+                (r["role"], r["_rk"], float(r["value"]))
+                for r in quantile_sample(
+                    rows, ["role"], "text_len", "turn_uid", K
+                ).collect()
+            }
+            have = {
+                (r["role"], r["rk"], float(r["value"]))
+                for r in got.filter(F.col("win_start") == w).collect()
+            }
+            assert have == want, w
+        # state/output bound: at most k cells per (window, key)
+        per = got.groupBy("win_start", "role").count().collect()
+        assert all(r["count"] <= K for r in per)
+        # restart over the unchanged source: append-mode emits nothing new
+        n = got.count()
+        run()
+        assert spark.read.parquet(out_path).count() == n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
