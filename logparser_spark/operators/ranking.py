@@ -11,8 +11,17 @@ so the per-(query, doc) total is EXACT integer arithmetic and immune to
 float summation order (DuckDB and Spark may sum doubles in different
 orders; integers commute).  The per-term double math (idf, tf
 saturation) is computed from identical inputs with identical formulas
-on both engines, and the 6-dp rounding absorbs any last-ulp ``ln``
-difference.
+on both engines; 6-dp rounding absorbs a last-ulp ``ln`` divergence
+EXCEPT in the measure-zero case where ``x·10^6 + 0.5`` lands exactly on
+an integer boundary AND the engines' ``ln`` differ in the last ulp at
+that input — Java's ``Math.log`` and DuckDB's libm are not contractually
+bit-identical, so a hash mismatch there is possible in principle
+(astronomically rare at gate scale: it needs a specific (df, tf, dl)
+triple whose score sits within one ulp of a rounding boundary).  If it
+ever bites, the fix is a driver-injected ``%.17e`` idf constant table
+per distinct df value (the cross-engine float idiom used elsewhere in
+this repo); not done pre-emptively because the constant table couples
+the oracle to the corpus statistics.
 
 Scale shape: term frequencies and document frequencies are map-side
 combinable hash aggregates over the exploded token table; the query

@@ -214,6 +214,16 @@ def hll_distinct(
     either exact in binary doubles (2^−ρ sums) or rounded to 4 dp in the
     output, per the repo's cross-engine float policy.  Relative error of
     the raw estimator is ≈ 1.04/√m.
+
+    Residual cross-engine risk: the linear-counting branch evaluates
+    ``ln(m/V)`` with the engine's libm; Java ``Math.log`` vs DuckDB are
+    not contractually bit-identical, so if that product sits within one
+    ulp of a ``round(·, 4)`` boundary the hash compare could flip —
+    measure-zero in practice (V is a small integer, m/V one of m
+    rationals, and none of those logs lands on a 4-dp boundary for any
+    tested m).  A driver-injected ``%.17e`` constant table over the m
+    possible V values would remove even that, at the cost of coupling
+    the oracle to log2m; documented rather than done.
     """
     m = 1 << log2m
     alpha = _hll_alpha(m)
