@@ -480,6 +480,7 @@ if __name__ == "__main__":
     ap.add_argument("--input-parquet", action="store_true")
     ap.add_argument("--exec-cores", type=int, default=0)
     ap.add_argument("--execs-small", type=int, default=1)
+    ap.add_argument("--n-legs", type=int, default=4)
     args = ap.parse_args()
     if args.scaling or args.cluster_scaling:
         print(json.dumps(run_scaling(args.sf_dir, n_turns=args.turns or 4_000_000,
@@ -489,7 +490,7 @@ if __name__ == "__main__":
                                      execs_small=args.execs_small)))
     elif args.interference:
         print(json.dumps(run_interference(
-            args.sf_dir, cpus=args.exec_cores or 4,
+            args.sf_dir, cpus=args.exec_cores or 4, n_legs=args.n_legs,
             n_turns=args.turns or 8_000_000)))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns,

@@ -529,6 +529,118 @@ SQL_JACCARD_VERIFIED = (
 )
 
 
+# -- incremental (new-batch-vs-corpus) dedup ----------------------------------
+
+#: verification threshold for the incremental-dedup fixture (exact copies
+#: score 1.0; the synthesized fresh/twin texts top out ≈0.25)
+INC_THRESHOLD = 0.9
+
+
+def _inc_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized NEW batch: 20 exact copies of corpus docs (must
+    all be rejected), 20 fresh one-off docs (must all be admitted), and
+    10 in-batch twin pairs (exactly one of each pair admitted)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    dups = docs.filter(d < DUP_IDS_BELOW).select(
+        (d + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(
+        (d >= DUP_IDS_BELOW) & (d < 2 * DUP_IDS_BELOW)
+    ).select(
+        (d + 2 * DUP_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("fresh solo doc "), d.cast("string"), F.lit(" quux zephyr")
+        ).alias("text"),
+    )
+    twin_text = F.concat(
+        F.lit("twin batch doc "), d.cast("string"), F.lit(" gamma delta epsilon")
+    )
+    twin_a = docs.filter(d < 10).select(
+        (d + 3 * DUP_OFFSET).alias("doc_id"), twin_text.alias("text")
+    )
+    twin_b = docs.filter(d < 10).select(
+        (d + 4 * DUP_OFFSET).alias("doc_id"), twin_text.alias("text")
+    )
+    return dups.unionByName(fresh).unionByName(twin_a).unionByName(twin_b)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: admit a new batch against the existing
+    canonical corpus without materializing corpus×corpus pairs."""
+    from logparser_spark.operators.dedup import incremental_dedup
+
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = incremental_dedup(
+        _inc_new_docs(spark, sf_dir),
+        corpus,
+        num_hashes=N_MINHASHES,
+        rows_per_band=ROWS_PER_BAND,
+        shingle_n=SHINGLE_N,
+        threshold=INC_THRESHOLD,
+    )
+    return out.select("doc_id")
+
+
+_INC_NEW_SQL = (
+    f"(SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents "
+    f"WHERE doc_id < {DUP_IDS_BELOW} "
+    f"UNION ALL SELECT doc_id + {2 * DUP_OFFSET}, "
+    "'fresh solo doc ' || CAST(doc_id AS VARCHAR) || ' quux zephyr' "
+    f"FROM documents WHERE doc_id >= {DUP_IDS_BELOW} "
+    f"AND doc_id < {2 * DUP_IDS_BELOW} "
+    f"UNION ALL SELECT doc_id + {3 * DUP_OFFSET}, "
+    "'twin batch doc ' || CAST(doc_id AS VARCHAR) || ' gamma delta epsilon' "
+    "FROM documents WHERE doc_id < 10 "
+    f"UNION ALL SELECT doc_id + {4 * DUP_OFFSET}, "
+    "'twin batch doc ' || CAST(doc_id AS VARCHAR) || ' gamma delta epsilon' "
+    "FROM documents WHERE doc_id < 10)"
+)
+
+# verified near-dup pairs over corpus ∪ new, candidates restricted to
+# pairs touching ≥1 new doc (new ids all sit above DUP_OFFSET, so
+# "id_b ≥ DUP_OFFSET" ⇔ "not both corpus" under id_a < id_b)
+_INC_VERIFIED_SQL = (
+    "WITH docs AS (SELECT * FROM " + _INC_NEW_SQL
+    + " UNION ALL SELECT doc_id, text FROM documents), "
+    "sh AS (SELECT doc_id, unnest(" + _shingles_sql("text") + ") AS shingle FROM docs), "
+    f"seeds AS (SELECT unnest(generate_series(0, {N_MINHASHES - 1})) AS seed), "
+    "sig AS (SELECT doc_id, seed, "
+    "min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash "
+    "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed), "
+    f"bands AS (SELECT doc_id, seed // {ROWS_PER_BAND} AS band, "
+    "md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key "
+    f"FROM sig GROUP BY doc_id, seed // {ROWS_PER_BAND}), "
+    "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key "
+    "HAVING count(*) <= 1000), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM (SELECT bands.* FROM bands JOIN ok USING (band, band_key)) a "
+    "JOIN (SELECT bands.* FROM bands JOIN ok USING (band, band_key)) b "
+    "USING (band, band_key) WHERE a.doc_id < b.doc_id "
+    f"AND b.doc_id >= {DUP_OFFSET}), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id_a, id_b FROM pairs JOIN cand USING (id_a, id_b) "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    f"WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= {INC_THRESHOLD}"
+)
+
+
+def _sql_incremental_dedup() -> str:
+    clusters = duplicate_clusters_sql(_INC_VERIFIED_SQL)
+    return (
+        f"WITH c AS ({clusters}), "
+        f"bad AS (SELECT DISTINCT cluster_id FROM c WHERE doc_id < {DUP_OFFSET}), "
+        f"n AS (SELECT doc_id FROM {_INC_NEW_SQL} s) "
+        "SELECT n.doc_id FROM n WHERE NOT EXISTS ("
+        "SELECT 1 FROM c WHERE c.doc_id = n.doc_id AND "
+        "(c.doc_id <> c.cluster_id "
+        "OR c.cluster_id IN (SELECT cluster_id FROM bad)))"
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over the verified near-dup
     pairs (min-label propagation), labeling every clustered doc with its
@@ -1593,6 +1705,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "weighted_sample": q_weighted_sample,
     "stratified_sample": q_stratified_sample,
+    # r5: continuous-ingest dedup (new batch vs existing canonical corpus)
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1639,6 +1753,7 @@ ORACLES: dict[str, str] = {
     "quantile_sketch": _sql_quantile_sketch(),
     "bm25_topk": _sql_bm25_topk(),
     "bpe_token_counts": _sql_bpe_token_counts(),
+    "incremental_dedup": _sql_incremental_dedup(),
 }
 
 

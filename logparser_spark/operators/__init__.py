@@ -9,6 +9,14 @@ from logparser_spark.operators.aggregate import (
     turn_window_counts,
 )
 from logparser_spark.operators.bpe import bpe_encode, bpe_train
+from logparser_spark.operators.dedup import (
+    dedup_keep_canonical,
+    duplicate_clusters,
+    incremental_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from logparser_spark.operators.curation import (
     chunk_documents,
     decontaminate,
@@ -36,6 +44,12 @@ __all__ = [
     "sink_window_counts",
     "turn_window_counts",
     "grouped_percentiles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "duplicate_clusters",
+    "dedup_keep_canonical",
+    "incremental_dedup",
     "bpe_train",
     "bpe_encode",
     "bm25_scores",

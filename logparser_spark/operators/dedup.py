@@ -563,3 +563,108 @@ def duplicate_clusters_sql(pairs_sql: str, out_id: str = "doc_id") -> str:
         "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node) "
         f"SELECT node AS {out_id}, min(lbl) AS cluster_id FROM walk GROUP BY node"
     )
+
+
+# -- incremental (batch-vs-corpus) dedup --------------------------------------
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    strategy: str = "label_prop",
+) -> DataFrame:
+    """Admit a NEW document batch against an existing canonical corpus:
+    the continuous-ingest dedup shape (each crawl/delivery dedups against
+    everything already kept, not against itself alone).
+
+    Returns the admitted subset of ``new_docs`` (all its columns).  A new
+    doc is dropped iff its near-dup cluster — connected components over
+    the LSH→Jaccard-verified pair graph restricted to pairs touching at
+    least one new doc — contains ANY corpus member (it duplicates kept
+    data, possibly transitively), or it is a non-canonical member of an
+    all-new cluster (in-batch duplicates resolve to their min id, same
+    rule as :func:`dedup_keep_canonical`).
+
+    Scale shape — the incremental property: corpus×corpus candidate
+    pairs are NEVER materialized.  Both sides are minhash-banded
+    (per-doc, so side-by-side == banding the union), the bucket-size
+    guard applies to the UNION bucket, and the candidate join emits only
+    new×corpus and new×new pairs — cost ∝ new-batch bucket overlap, not
+    corpus².  Verification then runs candidates-first (shingles
+    semi-joined to candidate docs before the quadratic join).  Ids must
+    be globally unique across the two tables.
+    """
+    nd = new_docs.select(F.col(id_col), F.col(text_col))
+    cd = corpus.select(F.col(id_col), F.col(text_col))
+    parallelism = nd.sparkSession.sparkContext.defaultParallelism
+    if nd.rdd.getNumPartitions() < parallelism:
+        nd = nd.repartition(parallelism)
+    if cd.rdd.getNumPartitions() < parallelism:
+        cd = cd.repartition(parallelism)
+    nb = lsh_bands(
+        minhash_signatures(nd, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        rows_per_band,
+    ).withColumn("_new", F.lit(True))
+    cb = lsh_bands(
+        minhash_signatures(cd, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        rows_per_band,
+    ).withColumn("_new", F.lit(False))
+    bands = nb.unionByName(cb)
+    ok = bands.join(
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket_size)
+        .select("band", "band_key"),
+        ["band", "band_key"],
+    )
+    n_side = ok.filter("_new").select(
+        F.col(id_col).alias("_n"), "band", "band_key"
+    )
+    c_side = ok.filter(~F.col("_new")).select(
+        F.col(id_col).alias("_c"), "band", "band_key"
+    )
+    nc = n_side.join(c_side, ["band", "band_key"]).select(
+        F.least("_n", "_c").alias("id_a"), F.greatest("_n", "_c").alias("id_b")
+    )
+    m = n_side.select(F.col("_n").alias("_m"), "band", "band_key")
+    nn = (
+        n_side.join(m, ["band", "band_key"])
+        .filter(F.col("_n") < F.col("_m"))
+        .select(F.col("_n").alias("id_a"), F.col("_m").alias("id_b"))
+    )
+    cands = nc.unionByName(nn).distinct()
+    both = nd.unionByName(cd)
+    verified = jaccard_pairs(
+        both, id_col, text_col, threshold, shingle_n, candidates=cands
+    )
+    clusters = duplicate_clusters(verified, strategy=strategy)
+    corpus_m = cd.select(F.col(id_col).alias("member_id"))
+    bad = (
+        clusters.join(corpus_m, "member_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    new_members = clusters.join(
+        new_docs.select(F.col(id_col).alias("member_id")), "member_id", "left_semi"
+    )
+    drop = (
+        new_members.join(bad, "cluster_id", "left_semi")
+        .select("member_id")
+        .unionByName(
+            new_members.join(bad, "cluster_id", "left_anti")
+            .filter(F.col("member_id") != F.col("cluster_id"))
+            .select("member_id")
+        )
+    )
+    return new_docs.join(
+        drop.select(F.col("member_id").alias(id_col)), id_col, "left_anti"
+    )

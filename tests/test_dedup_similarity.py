@@ -402,3 +402,54 @@ def test_two_phase_empty_and_selfpair_edges(spark):
         ).collect()
     }
     assert got == {(5, 5), (7, 7), (8, 7)}
+
+
+def test_incremental_dedup_admits_only_novel_docs(spark):
+    """New batch vs canonical corpus: exact copies of corpus docs are
+    rejected, genuinely new docs admitted, in-batch twins resolve to one
+    keeper — and the corpus itself is never self-paired (its internal
+    near-dups stay untouched)."""
+    from logparser_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            # corpus-internal near-dups: must NOT affect admission
+            (3, "sphinx of black quartz judge my vow said the king"),
+            (4, "sphinx of black quartz judge my vow said the king"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+            (102, "completely novel payload about spark adaptive shuffles"),
+            (103, "twin content gamma delta epsilon zeta eta theta iota"),
+            (104, "twin content gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, corpus, threshold=0.9).collect()
+    )
+    assert got == [102, 103]
+
+
+def test_incremental_dedup_transitive_via_batch(spark):
+    """A new doc that matches another new doc which matches the corpus
+    is rejected too (cluster contains a corpus member)."""
+    from logparser_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(201, base), (202, base), (203, "unrelated fresh text about nothing shared here at all")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, corpus, threshold=0.9).collect()
+    )
+    assert got == [203]

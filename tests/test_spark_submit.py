@@ -68,3 +68,48 @@ def test_spark_submit_pyfiles_from_foreign_cwd():
     assert metrics_line, proc.stdout[-2000:]
     m = json.loads(metrics_line[-1])
     assert m["routed_rows"] == 5000 and m["n_templates"] > 0, m
+
+
+def test_spark_submit_curation_job_from_foreign_cwd():
+    """The curation entry point ships the same way: spark-submit with
+    --py-files from a foreign cwd, over the sf0.001 documents table,
+    exercising dedup → decontaminate → sample → redact → chunk → pack
+    and emitting per-stage counts."""
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles_zip.py")],
+        check=True, cwd=REPO, capture_output=True,
+    )
+    zip_path = os.path.join(REPO, "dist", "logparser_spark.zip")
+    out = tempfile.mkdtemp(prefix="curation_smoke_")
+    cwd = tempfile.mkdtemp(prefix="foreign_cwd_")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "run_curation.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", os.path.join(out, "curated"),
+            "--rate", "en=3000,de=10000,fr=5000,es=7500,zh=0",
+            "--jaccard-threshold", "0.99",
+            "--chunk-chars", "128", "--chunk-overlap", "32",
+            "--seq-budget", "512",
+        ],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics_line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert metrics_line, proc.stdout[-2000:]
+    m = json.loads(metrics_line[-1])
+    assert m["input"] == 500
+    assert 0 < m["after_sample"] <= m["after_dedup"] <= m["input"]
+    assert m["chunks_written"] >= m["after_sample"]
+    assert m["n_sequences"] >= 1
+    import glob
+
+    files = glob.glob(os.path.join(out, "curated", "*.parquet"))
+    assert files
