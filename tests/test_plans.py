@@ -216,3 +216,22 @@ def test_grouped_percentiles_preaggregates_before_window(spark):
     win_pos = plan.index("Window")
     agg_after_window_text = plan[win_pos:]
     assert "HashAggregate" in agg_after_window_text, plan
+
+
+def test_incremental_dedup_has_no_cartesian_or_nested_loop(spark):
+    """The incremental-dedup admission plan must stay equi-join shaped
+    end to end: band-bucket joins for candidates, shingle equi-join for
+    verification, hash joins for the cluster/corpus semi/anti steps.
+    A CartesianProduct or BroadcastNestedLoopJoin anywhere means the
+    batch-vs-corpus guarantee (cost proportional to the batch, never
+    corpus squared) silently degenerated."""
+    from logparser_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    plan = _plan(incremental_dedup(new, corpus, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
