@@ -432,8 +432,11 @@ def run_interference(sf_dir: str, cpus: int = 4, n_legs: int = 4,
     leg_cmd = [sys.executable, __file__, "--cpus", str(cpus), "--sf-dir", sf_dir,
                "--turns", str(n_turns), "--pipeline-only"]
     # keep the concurrent fleet inside the 128 GiB box: 20g/leg at <=4 legs
-    # (the r3 shape), shrink proportionally beyond that
-    mem_gb = min(20, max(8, 96 // n_legs))
+    # (the r3 shape), shrink proportionally beyond that.  NEVER floor the
+    # per-leg size above 96/n_legs — overcommit swaps and measures a fake
+    # floor (see BENCH/interference_8x2_12M_r5_memovercommit.json); a
+    # too-small leg fails loudly instead, which is the failure we want
+    mem_gb = max(2, min(20, 96 // n_legs))
     env = dict(os.environ, SPARK_DRIVER_MEM=f"{mem_gb}g")
 
     def parse(stdout: str) -> dict:

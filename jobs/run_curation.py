@@ -133,9 +133,13 @@ def main() -> None:
         )
         counts["after_decontaminate"] = kept.count()
 
-    # 3. stratified sampling (skipped when no rates given)
+    # 3. stratified sampling (skipped when no rates given); langs absent
+    # from --rate keep everything, per the documented contract
     if args.rate:
-        kept = stratified_sample(kept, "lang", _parse_rates(args.rate), "doc_id")
+        kept = stratified_sample(
+            kept, "lang", _parse_rates(args.rate), "doc_id",
+            default_rate=10_000,
+        )
         counts["after_sample"] = kept.count()
 
     # 4. PII redaction → 5. chunking → 6. packing
@@ -145,24 +149,40 @@ def main() -> None:
         chunk_chars=args.chunk_chars, overlap=args.chunk_overlap,
     )
     # chunk_uid must be injective + orderable: chunk_idx < 2^20 covers
-    # docs up to ~2 GB of text at the default stride
+    # docs up to ~2 GB of text at the default stride, but --chunk-chars /
+    # --chunk-overlap can shrink the stride arbitrarily, so the overflow
+    # branch aborts loudly instead of silently aliasing the next doc's
+    # chunks (raise_error sits in the never-taken branch — free when ok)
+    chunk_uid = (
+        F.when(
+            F.col("chunk_idx") >= (1 << 20),
+            F.raise_error(F.concat(
+                F.lit("run_curation: chunk_idx overflows the 2^20 "
+                      "chunk_uid space for doc_id "),
+                F.col("doc_id"),
+                F.lit(" — raise --chunk-chars or split the document"),
+            )).cast("bigint"),
+        )
+        .otherwise(F.col("doc_id") * (1 << 20) + F.col("chunk_idx"))
+        .cast("bigint").alias("chunk_uid")
+    )
     packed = pack_sequences(
         chunks.select(
-            (F.col("doc_id") * (1 << 20) + F.col("chunk_idx"))
-            .cast("bigint").alias("chunk_uid"),
+            chunk_uid,
             F.size(tokens_expr("chunk_text")).alias("n_tok"),
         ),
         args.seq_budget, id_col="chunk_uid",
     )
     out_df = chunks.select(
-        (F.col("doc_id") * (1 << 20) + F.col("chunk_idx"))
-        .cast("bigint").alias("chunk_uid"),
-        "doc_id", "chunk_idx", "chunk_start", "chunk_text",
+        chunk_uid, "doc_id", "chunk_idx", "chunk_start", "chunk_text",
     ).join(packed, "chunk_uid")
     out_df.write.mode("overwrite").parquet(args.out)
-    counts["chunks_written"] = spark.read.parquet(args.out).count()
+    # read the counters back from the written files — recomputing them
+    # from `packed` would re-execute the whole redact→chunk→pack lineage
+    written = spark.read.parquet(args.out)
+    counts["chunks_written"] = written.count()
     counts["n_sequences"] = int(
-        packed.agg(F.max("seq_id")).first()[0] or 0
+        written.agg(F.max("seq_id")).first()[0] or 0
     ) + 1 if counts["chunks_written"] else 0
     print(json.dumps(counts))
     spark.stop()

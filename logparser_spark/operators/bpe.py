@@ -228,7 +228,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_cap: int | None = 500_000,
+    broadcast_cap: int | str | None = "auto",
 ) -> DataFrame:
     """Per-doc BPE token sequences: (id, bpe_tokens array<string>, n_bpe).
 
@@ -240,14 +240,20 @@ def bpe_encode(
     (null/blank text) are KEPT, with ``bpe_tokens = []`` and
     ``n_bpe = 0`` — output row count always equals input row count.
 
-    The segmentation join is broadcast only when the estimated distinct
-    word count is at most ``broadcast_cap`` (checked with a cheap
-    ``approx_count_distinct`` pre-pass): on a noisy web-scale corpus the
-    distinct-word frame (with array payloads) can be many GB, and a
-    forced broadcast hint would OOM every executor — above the cap it
-    degrades to a shuffle join on ``word``, which the exploded side
-    already keys.  ``broadcast_cap=None`` skips the pre-pass and always
-    broadcasts (callers that KNOW the vocab is small, e.g. tests).
+    ``broadcast_cap`` governs the segmentation join strategy.  The
+    default ``"auto"`` adds NO hint and runs NO pre-pass: AQE measures
+    the vocab's real size at the shuffle boundary and converts to a
+    broadcast join exactly when it fits — zero extra jobs, lazy (safe
+    to compose into plans that are never executed), and on a noisy
+    web-scale corpus where the distinct-word frame (with array
+    payloads) is many GB it correctly stays a shuffle join, which the
+    exploded side already keys.  An integer cap instead runs an eager
+    ``approx_count_distinct`` pre-pass over the corpus (one extra scan,
+    triggered at CONSTRUCTION time) and force-broadcasts iff the
+    estimate is at most the cap — for callers who must pin the join
+    strategy at plan time.  ``broadcast_cap=None`` always broadcasts
+    with no pre-pass (callers that KNOW the vocab is small, e.g. the
+    bounded-bank entry query).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -269,14 +275,14 @@ def bpe_encode(
         id_col, F.posexplode(tokens_expr(text_col)).alias("pos", "word")
     )
     vocab = exploded.select("word").distinct().withColumn("_seg", seg("word"))
-    if broadcast_cap is not None:
+    if broadcast_cap is None:
+        vocab = F.broadcast(vocab)
+    elif broadcast_cap != "auto":
         est = exploded.agg(
             F.approx_count_distinct("word", 0.05).alias("n")
         ).first()["n"]
         if est <= broadcast_cap:
             vocab = F.broadcast(vocab)
-    else:
-        vocab = F.broadcast(vocab)
     encoded = (
         exploded.join(vocab, "word")
         .groupBy(id_col)

@@ -379,9 +379,14 @@ def _two_phase_components(
     At the fixpoint the edge set is exactly the star set
     ``(child, component-min)``.  Per round: two shuffles (the groupBy-min
     and the join back), plus a convergence check; the frame is
-    ``localCheckpoint``-ed per round to truncate iterative lineage.
-    ``edges`` must be (u, v) with u != v; returns the converged star
-    edges ``(u=child, v=root)`` with root < child.
+    ``localCheckpoint``-ed per round to truncate iterative lineage, and
+    the SUPERSEDED round's checkpoint blocks are unpersisted as soon as
+    the next round is materialized — without that, rounds accumulate in
+    executor storage memory for the life of the session and every later
+    allocation pays an eviction scan over the dead blocks (only the
+    returned frame's blocks stay pinned).  ``edges`` must be (u, v) with
+    u != v; returns the converged star edges ``(u=child, v=root)`` with
+    root < child.
     """
     e = edges.select("u", "v").distinct().localCheckpoint()
     for _ in range(max_iters):
@@ -410,7 +415,9 @@ def _two_phase_components(
             .localCheckpoint()
         )
         if small.count() == e.count() and small.exceptAll(e).isEmpty():
+            e.unpersist()
             return small
+        e.unpersist()  # `small` is eagerly checkpointed — safe to drop
         e = small
     raise RuntimeError(
         f"duplicate_clusters(two_phase): star rounds did not reach the "
@@ -495,6 +502,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
     )
     converged = False
+    prev_upd = None
     for _ in range(max_iters):
         prop = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -512,10 +520,21 @@ def duplicate_clusters(
             )
             .localCheckpoint()
         )
+        # `upd` is eagerly materialized — the previous round's checkpoint
+        # blocks are dead weight in executor storage memory from here on
+        # (a long session would otherwise pay an eviction scan over every
+        # past round on each new allocation); only the final round stays
+        if prev_upd is not None:
+            prev_upd.unpersist()
+        prev_upd = upd
         labels = upd.select("node", "label")
         if upd.filter(F.col("label") < F.col("_old")).count() == 0:
             converged = True
             break
+    if prev_upd is not None:
+        # the returned labels derive from the LAST checkpoint only — the
+        # symmetrized edge frame is no longer reachable from the result
+        edges.unpersist()
     if not converged:
         # A component with diameter > max_iters would return SPLIT
         # clusters — a silently wrong answer (and an opaque downstream

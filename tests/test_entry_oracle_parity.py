@@ -15,6 +15,25 @@ TABLES = (
 ).split()
 
 
+@pytest.fixture(autouse=True)
+def _fresh_memorystore(spark):
+    """Start every parity query from an empty block store.
+
+    The full suite shares one 8g SparkSession; by the time this module
+    runs, earlier modules' caches and checkpoint blocks fill the
+    MemoryStore, and the heavy composed queries (incremental_dedup,
+    curation_pipeline) then serialize every memory acquisition through
+    `evictBlocksToFreeSpace` scans over thousands of dead blocks — a
+    measured 45-min livelock that the same query run solo finishes in
+    seconds.  Clearing up front (cache + any persisted RDDs, which
+    includes spent localCheckpoints) restores the solo-run behavior the
+    driver gate itself sees (it runs queries in a fresh session)."""
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+    yield
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()

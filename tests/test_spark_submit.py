@@ -94,7 +94,10 @@ def test_spark_submit_curation_job_from_foreign_cwd():
             os.path.join(REPO, "jobs", "run_curation.py"),
             "--input", "/root/testdata/sf0.001/documents.parquet",
             "--out", os.path.join(out, "curated"),
-            "--rate", "en=3000,de=10000,fr=5000,es=7500,zh=0",
+            # only zh named: the other langs must keep EVERYTHING (the
+            # documented absent-langs-keep-10000 contract — a default
+            # of drop-absent would zero out the corpus here)
+            "--rate", "zh=0",
             "--jaccard-threshold", "0.99",
             "--chunk-chars", "128", "--chunk-overlap", "32",
             "--seq-budget", "512",
@@ -106,7 +109,9 @@ def test_spark_submit_curation_job_from_foreign_cwd():
     assert metrics_line, proc.stdout[-2000:]
     m = json.loads(metrics_line[-1])
     assert m["input"] == 500
-    assert 0 < m["after_sample"] <= m["after_dedup"] <= m["input"]
+    assert 0 < m["after_sample"] < m["after_dedup"] <= m["input"], (
+        "zh must be dropped and every unnamed lang kept in full"
+    )
     assert m["chunks_written"] >= m["after_sample"]
     assert m["n_sequences"] >= 1
     import glob
