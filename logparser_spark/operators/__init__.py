@@ -25,7 +25,11 @@ from logparser_spark.operators.curation import (
     stratified_sample,
     weighted_sample,
 )
-from logparser_spark.operators.ranking import bm25_scores, bm25_topk
+from logparser_spark.operators.ranking import (
+    bm25_scores,
+    bm25_topk,
+    bm25_topk_from_cells,
+)
 from logparser_spark.operators.sketches import (
     cms_heavy_hitters,
     cms_sketch,
@@ -54,6 +58,7 @@ __all__ = [
     "bpe_encode",
     "bm25_scores",
     "bm25_topk",
+    "bm25_topk_from_cells",
     "chunk_documents",
     "decontaminate",
     "pack_sequences",

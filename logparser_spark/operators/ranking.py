@@ -124,6 +124,75 @@ def bm25_topk(
     )
 
 
+def bm25_topk_from_cells(
+    cells: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Finalize streaming BM25 cells into per-window rankings:
+    (win_start, query_id, id, score_micro, rank) — the batch half of
+    :func:`~logparser_spark.streaming.stream.streaming_bm25_cells`.
+
+    Cells carry only INTEGER counts (the streaming side never touches a
+    float): matched rows (doc, term, tf, dl) plus one sentinel stats
+    row per (window, shard) holding that shard's (n_docs,
+    total_tokens).  Everything derived is recomputed here with the SAME
+    JVM expressions as :func:`bm25_scores` — ``df`` per (window, term)
+    is the matched-row count (tf rows are one-per-doc, so counting them
+    IS the document frequency), window totals are exact BIGINT sums
+    over the shard sentinels, and ``avgdl``/``idf``/tf-saturation are
+    IEEE double ops on the same exact-integer inputs — so a finalized
+    window's top-k equals batch :func:`bm25_topk` over that window's
+    documents EXACTLY, not approximately (pinned by test).
+    """
+    from pyspark.sql import Window
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens_expr(query_text_col)).alias("term"),
+    ).distinct()
+    stats = cells.groupBy("win_start").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+    matched = cells.filter(F.col("term").isNotNull()).select(
+        "win_start", F.col(id_col), "term", "tf", "dl"
+    )
+    dft = matched.groupBy("win_start", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # expression shapes mirror bm25_scores exactly; integer inputs are
+    # exact doubles (< 2^53), so every intermediate double is identical
+    n_docs_d = F.col("n_docs").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_docs_d
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs_d - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
+    )
+    contrib = F.floor(idf * sat * _BM25_SCALE + F.lit(0.5)).cast("bigint")
+    scored = (
+        matched.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(dft), ["win_start", "term"])
+        .join(F.broadcast(stats), "win_start")
+        .groupBy("win_start", "query_id", id_col)
+        .agg(F.sum(contrib).alias("score_micro"))
+    )
+    w = Window.partitionBy("win_start", "query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def bm25_topk_sql(
     src: str,
     queries_sql: str,

@@ -463,3 +463,130 @@ def streaming_quantile_cells(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_bm25_cells(
+    stream: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Per-event-time-window BM25 corpus-statistic cells over a document
+    stream — the streaming twin of
+    :func:`~logparser_spark.operators.ranking.bm25_scores`.
+
+    BM25's corpus statistics (N, total token count, per-term df) are
+    window-global, so unlike CMS/HLL this is not a per-key SQL
+    aggregate: ``applyInPandasWithState`` keyed by (window, shard)
+    accumulates INTEGER counts only — two scalars plus the matched
+    (doc, term, tf, dl) rows for documents sharing ≥ 1 seed term.
+    Zero-overlap documents bump the two counters and are forgotten (the
+    decontaminate lesson in streaming form): state ∝ the batch
+    operator's post-join row count, not stream volume.  ``n_shards``
+    md5-splits each window's state across tasks so a hot window never
+    lands on one executor; shard partials merge exactly (disjoint doc
+    sets ⇒ df/N/token sums add).
+
+    At window-end + watermark each shard emits its matched rows plus
+    ONE sentinel stats row (term NULL, carrying the shard's n_docs /
+    total_tokens) in append semantics.  Scoring is a batch read of the
+    cells through
+    :func:`~logparser_spark.operators.ranking.bm25_topk_from_cells`,
+    which recomputes df by counting matched rows and reuses the batch
+    operator's exact JVM expressions — so streaming == batch EXACTLY
+    per finalized window (the python side never touches a float).
+
+    Stream contract: each row is one WHOLE document (a doc never splits
+    across micro-batches).  Python tokenization is ``str.split()`` —
+    identical to ``tokens_expr``'s trim + split-on-whitespace-runs +
+    drop-empties.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_ms = window_minutes * 60 * 1000
+    qset = frozenset(query_terms)
+    out_schema = (
+        "win_start timestamp, shard int, doc_id string, term string, "
+        "tf bigint, dl bigint, n_docs bigint, total_tokens bigint"
+    )
+    state_schema = (
+        "n_docs bigint, total_tokens bigint, m_doc array<string>, "
+        "m_term array<string>, m_tf array<bigint>, m_dl array<bigint>"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        win_start, shard = key
+
+        if state.hasTimedOut:
+            n_docs, total_tokens, m_doc, m_term, m_tf, m_dl = state.get
+            state.remove()
+            n = len(m_doc)
+            yield pd.DataFrame(
+                {
+                    "win_start": [win_start] * (n + 1),
+                    "shard": [shard] * (n + 1),
+                    "doc_id": [None, *m_doc],
+                    "term": [None, *m_term],
+                    "tf": [0, *m_tf],
+                    "dl": [0, *m_dl],
+                    "n_docs": [n_docs] + [0] * n,
+                    "total_tokens": [total_tokens] + [0] * n,
+                }
+            )
+            return
+
+        n_docs, total_tokens = 0, 0
+        m_doc: list[str] = []
+        m_term: list[str] = []
+        m_tf: list[int] = []
+        m_dl: list[int] = []
+        if state.exists:
+            n_docs, total_tokens, sd, st, sf, sl = state.get
+            m_doc, m_term, m_tf, m_dl = list(sd), list(st), list(sf), list(sl)
+        for pdf in pdfs:
+            for doc, text in zip(pdf["_id"], pdf["_text"]):
+                toks = text.split() if isinstance(text, str) else []
+                n_docs += 1
+                dl = len(toks)
+                total_tokens += dl
+                cnt: dict[str, int] = {}
+                for t in toks:
+                    if t in qset:
+                        cnt[t] = cnt.get(t, 0) + 1
+                for t, c in cnt.items():
+                    m_doc.append(str(doc))
+                    m_term.append(t)
+                    m_tf.append(c)
+                    m_dl.append(dl)
+        state.update((n_docs, total_tokens, m_doc, m_term, m_tf, m_dl))
+        wm = state.getCurrentWatermarkMs()
+        win_end_ms = int(pd.Timestamp(win_start).value // 1_000_000) + win_ms
+        state.setTimeoutTimestamp(max(win_end_ms, wm + 1))
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    src = stream.withWatermark(ts_col, watermark).select(
+        F.window(ts_col, f"{window_minutes} minutes")["start"].alias("win_start"),
+        shard.alias("shard"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(text_col).alias("_text"),
+        # the watermarked event-time column must survive projection for
+        # the analyzer to allow EventTimeTimeout; fn never reads it
+        F.col(ts_col),
+    )
+    return src.groupBy("win_start", "shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -675,3 +675,96 @@ def test_streaming_quantile_cells_equal_batch_sample(spark):
         assert spark.read.parquet(out_path).count() == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_bm25_cells_equal_batch_topk(spark):
+    """A finalized window's streaming BM25 cells, finalized through
+    bm25_topk_from_cells, equal batch bm25_topk over that window's
+    documents EXACTLY (integer micro-scores, identical JVM float
+    exprs), shard partials merge transparently, and a checkpoint
+    restart emits nothing new."""
+    from datetime import timedelta
+
+    from logparser_spark.operators.ranking import bm25_topk, bm25_topk_from_cells
+    from logparser_spark.sources.transcripts import transcripts_df
+    from logparser_spark.streaming.stream import streaming_bm25_cells
+
+    K = 7
+    queries = spark.createDataFrame(
+        [("q_cache", "cache miss shard"), ("q_err", "error block terminating")],
+        "query_id string, query string",
+    )
+    q_terms = sorted(
+        {t for r in queries.collect() for t in r["query"].split()}
+    )
+    tdf = transcripts_df(spark, 3000, 30, 0).withColumn(
+        "turn_uid", F.concat_ws(":", "conv_id", "turn_idx")
+    )
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = (os.path.join(d, x) for x in ("in", "out", "ckpt"))
+        tdf.coalesce(2).write.parquet(in_path)
+
+        def run():
+            q = (
+                streaming_bm25_cells(
+                    spark.readStream.schema(tdf.schema).parquet(in_path),
+                    q_terms,
+                    id_col="turn_uid",
+                    text_col="text",
+                    window_minutes=60,
+                    watermark="0 seconds",
+                    n_shards=3,
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        cells = spark.read.parquet(out_path)
+        static = spark.read.parquet(in_path)
+        max_ts = static.agg(F.max("ts")).first()[0]
+        all_wins = sorted(
+            r["w"]
+            for r in static.select(
+                F.window("ts", "1 hour")["start"].alias("w")
+            ).distinct().collect()
+        )
+        finalized = [w for w in all_wins if w + timedelta(hours=1) <= max_ts]
+        emitted = sorted(
+            r["win_start"] for r in cells.select("win_start").distinct().collect()
+        )
+        assert emitted == finalized and finalized
+
+        got = bm25_topk_from_cells(cells, queries, k=K, id_col="doc_id")
+        for w in finalized:
+            rows = static.filter(F.window("ts", "1 hour")["start"] == w)
+            want = {
+                (r["query_id"], r["turn_uid"], r["score_micro"], r["rank"])
+                for r in bm25_topk(
+                    rows, queries, k=K, id_col="turn_uid"
+                ).collect()
+            }
+            have = {
+                (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
+                for r in got.filter(F.col("win_start") == w).collect()
+            }
+            assert have == want and want, w
+        # sentinel accounting: per-window n_docs sums to the window's size
+        for w in finalized:
+            n = static.filter(F.window("ts", "1 hour")["start"] == w).count()
+            s = cells.filter(F.col("win_start") == w).agg(
+                F.sum("n_docs")
+            ).first()[0]
+            assert s == n, (w, s, n)
+        # restart over the unchanged source: append-mode emits nothing new
+        n = cells.count()
+        run()
+        assert spark.read.parquet(out_path).count() == n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
