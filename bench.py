@@ -482,7 +482,12 @@ if __name__ == "__main__":
     ap.add_argument("--turns", type=int, default=0)
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--executors", type=int, default=0)
-    ap.add_argument("--repeats", type=int, default=3)
+    # single-run default is 5: the host's noisy-neighbor stalls come in
+    # multi-10s windows that can poison 2 of 3 consecutive samples
+    # (observed 64.7 s and 25.8 s stall samples back-to-back, r5); five
+    # draws make the recorded min robust to one such window at ~1 min
+    # extra cost.  Scaling legs stay at 3 (minutes per sample at 96 M).
+    ap.add_argument("--repeats", type=int, default=0)
     ap.add_argument("--input-parquet", action="store_true")
     ap.add_argument("--exec-cores", type=int, default=0)
     ap.add_argument("--execs-small", type=int, default=1)
@@ -491,7 +496,7 @@ if __name__ == "__main__":
     if args.scaling or args.cluster_scaling:
         print(json.dumps(run_scaling(args.sf_dir, n_turns=args.turns or 4_000_000,
                                      cluster=args.cluster_scaling,
-                                     repeats=args.repeats,
+                                     repeats=args.repeats or 3,
                                      exec_cores=args.exec_cores,
                                      execs_small=args.execs_small)))
     elif args.interference:
@@ -501,4 +506,4 @@ if __name__ == "__main__":
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cpus, args.turns,
                                    args.pipeline_only, args.executors,
-                                   args.repeats, args.input_parquet)))
+                                   args.repeats or 5, args.input_parquet)))
