@@ -590,3 +590,69 @@ def streaming_bm25_cells(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_incremental_dedup_write(
+    docs_stream: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **dedup_kw,
+):
+    """Continuous-ingest near-dup admission control: each micro-batch is
+    deduped against everything ALREADY ADMITTED (and against itself) via
+    :func:`~logparser_spark.operators.dedup.incremental_dedup`, and its
+    survivors are appended to the canonical corpus — the streaming form
+    of the per-crawl/per-delivery dedup a training-data pipeline runs at
+    ingest.
+
+    The corpus IS the sink: admitted docs land in ``batch_id=<epoch>``
+    partition dirs, and each epoch's corpus view is the partitions with
+    ``batch_id < epoch`` (partition-pruned read, so a replayed epoch
+    never scans its own or later output).  Bounding the view by the
+    CURRENT epoch is what makes replay exactly idempotent: without it, a
+    replayed epoch N would find its own previously-written survivors in
+    the corpus and reject every one of them as a duplicate of itself.
+    With the bound, the replay sees the identical prior-corpus view,
+    recomputes the identical survivor set, and overwrites its own
+    partition — the same idempotent-sink construction as
+    :func:`streaming_curation_write`.
+
+    Scale: corpus×corpus pairs never materialize (incremental_dedup's
+    contract) — per-epoch cost ∝ batch size and bucket overlap, plus a
+    column-pruned parquet scan of the admitted corpus to re-derive its
+    minhash bands.  A deployment that out-grows the re-scan persists the
+    band table alongside the corpus and unions it in; not done here so
+    the sink stays a single self-describing format.  Ids must be
+    globally unique across all batches (the operator's contract).
+    """
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from logparser_spark.operators.dedup import incremental_dedup
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new = batch_df.select(id_col, text_col)
+        try:
+            corpus = (
+                spark.read.parquet(path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select(id_col, text_col)
+            )
+        except AnalysisException:  # first epoch: corpus dir not yet created
+            corpus = spark.createDataFrame([], new.schema)
+        admitted = incremental_dedup(
+            new, corpus, id_col=id_col, text_col=text_col, **dedup_kw
+        )
+        admitted.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    writer = docs_stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", f"{path}_ckpt"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

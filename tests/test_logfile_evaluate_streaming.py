@@ -768,3 +768,101 @@ def test_streaming_bm25_cells_equal_batch_topk(spark):
         assert spark.read.parquet(out_path).count() == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_incremental_dedup_grows_canonical_corpus(spark):
+    """Per-delivery ingest dedup: each epoch's admitted set equals batch
+    incremental_dedup against the corpus accumulated from the prior
+    epochs (exact sequential-oracle equality), cross-epoch and in-epoch
+    duplicates are rejected, and a checkpoint restart over the unchanged
+    source leaves the corpus byte-identical."""
+    from logparser_spark.operators.dedup import incremental_dedup
+    from logparser_spark.streaming.stream import streaming_incremental_dedup_write
+
+    schema = "doc_id bigint, text string"
+    novel = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow said the king",
+        "completely novel payload about spark adaptive shuffles",
+        "yet more fresh text never seen before anywhere at all",
+    ]
+    deliveries = [
+        # epoch 0: in-batch twins (1, 2) resolve to keeper 1
+        [(1, novel[0]), (2, novel[0]), (3, novel[1])],
+        # epoch 1: 10 duplicates the admitted 1; 11 is new
+        [(10, novel[0]), (11, novel[2])],
+        # epoch 2: 20 duplicates epoch-1's 11; 21/22 in-batch twins; 23 new
+        [(20, novel[2]), (21, novel[3]), (22, novel[3]), (23, novel[4])],
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        in_path, out_path = os.path.join(d, "in"), os.path.join(d, "out")
+
+        def run():
+            q = streaming_incremental_dedup_write(
+                spark.readStream.schema(schema).parquet(in_path),
+                out_path,
+                threshold=0.9,
+            )
+            q.awaitTermination(180)
+
+        corpus_rows: list[tuple] = []
+        for epoch, rows in enumerate(deliveries):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_path)
+            run()
+            # sequential batch oracle over the corpus-so-far
+            oracle_corpus = (
+                spark.createDataFrame(corpus_rows, schema)
+                if corpus_rows
+                else spark.createDataFrame([], schema)
+            )
+            want = sorted(
+                (r["doc_id"], r["text"])
+                for r in incremental_dedup(
+                    spark.createDataFrame(rows, schema),
+                    oracle_corpus,
+                    threshold=0.9,
+                ).collect()
+            )
+            got = sorted(
+                (r["doc_id"], r["text"])
+                for r in spark.read.parquet(out_path)
+                .filter(F.col("batch_id") == epoch)
+                .select("doc_id", "text")
+                .collect()
+            )
+            assert got == want, (epoch, got, want)
+            corpus_rows.extend(want)
+
+        final = sorted(
+            r["doc_id"] for r in spark.read.parquet(out_path).collect()
+        )
+        assert final == [1, 3, 11, 21, 23]
+
+        # restart over the unchanged source: corpus unchanged
+        run()
+        again = sorted(
+            r["doc_id"] for r in spark.read.parquet(out_path).collect()
+        )
+        assert again == final
+
+        # true at-least-once REPLAY (crash between write and commit):
+        # drop the last epoch's commit marker so Spark reprocesses it —
+        # the replayed epoch's output already sits in the corpus, and
+        # the batch_id < epoch bound must keep it from rejecting its own
+        # survivors as duplicates of themselves
+        os.remove(os.path.join(out_path + "_ckpt", "commits", "2"))
+        # the local checksum FS keeps a .crc sidecar; a stale one makes
+        # the replayed commit's rename fail, which a real crash between
+        # write and commit would never leave behind
+        os.remove(os.path.join(out_path + "_ckpt", "commits", ".2.crc"))
+        run()
+        replayed = sorted(
+            r["doc_id"] for r in spark.read.parquet(out_path).collect()
+        )
+        assert replayed == final
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
