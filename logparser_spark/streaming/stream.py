@@ -501,16 +501,21 @@ def streaming_bm25_cells(
     per finalized window (the python side never touches a float).
 
     Stream contract: each row is one WHOLE document (a doc never splits
-    across micro-batches).  Python tokenization is ``str.split()`` —
-    identical to ``tokens_expr``'s trim + split-on-whitespace-runs +
-    drop-empties.
+    across micro-batches).  Python tokenization mirrors ``tokens_expr``
+    exactly: tokens are maximal runs of non-ASCII-whitespace, because
+    Java regex ``\\s`` is ``[ \\t\\n\\x0B\\f\\r]`` — NOT
+    ``str.split()``, whose unicode whitespace (e.g. ``\\u00a0``) would
+    split tokens the JVM keeps whole.
     """
+    import re
+
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     win_ms = window_minutes * 60 * 1000
     qset = frozenset(query_terms)
+    tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
     out_schema = (
         "win_start timestamp, shard int, doc_id string, term string, "
         "tf bigint, dl bigint, n_docs bigint, total_tokens bigint"
@@ -551,7 +556,7 @@ def streaming_bm25_cells(
             m_doc, m_term, m_tf, m_dl = list(sd), list(st), list(sf), list(sl)
         for pdf in pdfs:
             for doc, text in zip(pdf["_id"], pdf["_text"]):
-                toks = text.split() if isinstance(text, str) else []
+                toks = tok_re.findall(text) if isinstance(text, str) else []
                 n_docs += 1
                 dl = len(toks)
                 total_tokens += dl

@@ -52,3 +52,56 @@ def test_bm25_plan_broadcasts_query_side_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
     assert "WindowGroupLimit" in plan  # top-k pruned map-side
+
+
+def test_streaming_tok_regex_matches_tokens_expr(spark):
+    """The streaming BM25 twin's python tokenizer must equal tokens_expr
+    for ARBITRARY text — Java regex \\s is ASCII-only, so unicode
+    whitespace (nbsp, ideographic space) stays INSIDE tokens, leading
+    tabs produce a dropped empty, etc."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.text import tokens_expr
+
+    tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
+    tricky = [
+        "plain words here",
+        "  leading and trailing  ",
+        "\ttab\tseparated\t",
+        "nb sp stays one token",
+        "ideographic\u3000space too",
+        "mixed \t \n runs \x0b\x0c of ws",
+        "",
+        "   ",
+        "one",
+    ]
+    df = spark.createDataFrame([(t,) for t in tricky], "text string")
+    got = {
+        r["text"]: r["toks"]
+        for r in df.select("text", tokens_expr("text").alias("toks")).collect()
+    }
+    for t in tricky:
+        assert got[t] == tok_re.findall(t), repr(t)
+
+
+def test_bm25_from_cells_plan_broadcasts_stats_no_python(spark):
+    """Finalizer plan: window stats and df are broadcast back to the
+    matched rows (no shuffle for the tiny sides), the top-k is map-side
+    WindowGroupLimit, and nothing drops to python."""
+    from logparser_spark.operators.ranking import bm25_topk_from_cells
+
+    cells = spark.createDataFrame(
+        [],
+        "win_start timestamp, shard int, doc_id string, term string, "
+        "tf bigint, dl bigint, n_docs bigint, total_tokens bigint",
+    )
+    queries = spark.createDataFrame([(1, "spark")], "query_id int, query string")
+    plan = (
+        bm25_topk_from_cells(cells, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2 or "BroadcastExchange" in plan
+    assert "Python" not in plan
+    assert "WindowGroupLimit" in plan
