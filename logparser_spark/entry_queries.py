@@ -1671,7 +1671,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lenma_template_table": q_lenma_template_table,
     "ael_template_table": q_ael_template_table,
     "logmine_template_table": q_logmine_template_table,
-    "lke_template_table": q_lke_template_table,
+    # r5 (late): the continuous-ingest dedup flagship enters the window
+    # in place of lke_template_table — the LKE engine keeps its oracle
+    # in the gate replica below, and eight sibling engine tables remain
+    # driver-checked; incremental_dedup had no in-window representative.
+    "incremental_dedup": q_incremental_dedup,
     "molfi_template_table": q_molfi_template_table,
     # r5 rotation: the r4 flagship LLM-pipeline operators move INTO the
     # driver window (real BMP/PNG/WAV/Y4M codecs, HyperLogLog, PII
@@ -1705,8 +1709,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "weighted_sample": q_weighted_sample,
     "stratified_sample": q_stratified_sample,
-    # r5: continuous-ingest dedup (new batch vs existing canonical corpus)
-    "incremental_dedup": q_incremental_dedup,
+    # demoted late-r5 for incremental_dedup (engine stays replica-proven;
+    # eight sibling engine tables remain inside the window)
+    "lke_template_table": q_lke_template_table,
 }
 
 ORACLES: dict[str, str] = {
