@@ -470,6 +470,15 @@ def duplicate_clusters(
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if strategy == "two_phase":
+        # truncate the caller's pair plan FIRST: `nodes` below re-derives
+        # from `e`, and the star result joins back onto it — without this
+        # checkpoint the upstream tower (a minhash→LSH→Jaccard candidate
+        # plan references its band subtree ~8× and the verify another
+        # ~3×) is duplicated into the final plan, whose mere EXPLAIN
+        # string OOMs a 1 GiB driver (observed: spark-submit curation job
+        # with --cc-strategy two_phase over 500 docs).  label_prop
+        # already truncates via its own `edges` checkpoint.
+        e = e.localCheckpoint()
         und = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
             F.col("u") != F.col("v")
         )

@@ -235,3 +235,20 @@ def test_incremental_dedup_has_no_cartesian_or_nested_loop(spark):
     plan = _plan(incremental_dedup(new, corpus, threshold=0.9))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_two_phase_over_minhash_tower_has_bounded_plan(spark):
+    """incremental_dedup(strategy='two_phase') must truncate the
+    minhash→LSH→Jaccard candidate tower before the star rounds: the
+    pre-fix plan duplicated the tower ~100× into the final join and its
+    mere EXPLAIN string OOM'd a 1 GiB spark-submit driver.  Pin the
+    optimized-plan rendering to a sane size."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    kept = incremental_dedup(docs, corpus, threshold=0.99, strategy="two_phase")
+    plan_str = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_str) < 200_000, len(plan_str)

@@ -118,3 +118,51 @@ def test_spark_submit_curation_job_from_foreign_cwd():
 
     files = glob.glob(os.path.join(out, "curated", "*.parquet"))
     assert files
+
+
+def test_spark_submit_curation_incremental_corpus_rejects_known_docs(spark):
+    """The job's --incremental-corpus arm: a batch whose every document
+    already exists in the canonical corpus (under different ids — the
+    globally-unique-id contract) admits NOTHING, and the empty pipeline
+    tail (redact → chunk → pack over zero rows) degrades cleanly."""
+    from pyspark.sql import functions as F
+
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    zip_path = os.path.join(REPO, "dist", "logparser_spark.zip")
+    if not os.path.exists(zip_path):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles_zip.py")],
+            check=True, cwd=REPO, capture_output=True,
+        )
+    d = tempfile.mkdtemp(prefix="curation_inc_")
+    corpus_path = os.path.join(d, "corpus")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .write.parquet(corpus_path)
+    )
+    cwd = tempfile.mkdtemp(prefix="foreign_cwd_")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "run_curation.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", os.path.join(d, "curated"),
+            "--incremental-corpus", corpus_path,
+            "--cc-strategy", "two_phase",
+            "--jaccard-threshold", "0.99",
+        ],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    m = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert m["input"] == 500
+    assert m["after_dedup"] == 0
+    assert m["chunks_written"] == 0 and m["n_sequences"] == 0
